@@ -1,13 +1,233 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.kb.Gazetteer
+import graft.pipeline.Stages
+import graft.sources.Pages
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is written double-determinism-safe for the DuckDB oracle:
+  *  - no raw floating-point aggregation (sums of non-integral doubles are
+  *    partition-order-dependent) — money goes through the integer-cents
+  *    trick `floor(x*100 + 0.5)` which is bit-exact in both engines;
+  *  - every output is ORDER BY'd on a deterministic key;
+  *  - all computed columns aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** cents(x) — exact integer money; identical semantics in Spark & DuckDB. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100 + 0.5).cast("long")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full pages → triples pipeline. */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = Pages.fromDocuments(spark, "/root/testdata/sf0.001")
+    Stages.extractTriples(pages, spark)
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- relational correctness ladder (TPC-H-ish) --
+    "q1_agg" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price_c"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q2_join_agg" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("o_totalprice"))).as("revenue_c"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    }),
+    "q3_topk" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("price_c"))
+        .orderBy(col("price_c").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+    "q4_window" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      o.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+                col("o_orderdate").as("first_orderdate"))
+        .orderBy(col("o_custkey"))
+    }),
+    "q6_events_hourly" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_c"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+    "q7_sessionize" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      e.withColumn("prev_s", lag(unix_timestamp(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_s").isNull || unix_timestamp(col("ts")) - col("prev_s") > 1800, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).cast("long").as("n_sessions"))
+        .orderBy(col("user_id"))
+    }),
+
+    // -- KG construction pipeline over synthesized pages --
+    "q_extract_text" -> ((s, dir) => {
+      Pages.fromDocuments(s, dir)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+                length(col("text")).as("text_len"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_mentions" -> ((s, dir) => {
+      val pages = Pages.fromDocuments(s, dir)
+      Stages.mentions(Stages.tokens(pages), s)
+        .groupBy(col("doc_id"), col("alias"))
+        .agg(count(lit(1)).as("n_mentions"), min(col("pos")).as("first_pos"))
+        .orderBy(col("doc_id"), col("alias"))
+    }),
+    "q_linked" -> ((s, dir) => {
+      val pages = Pages.fromDocuments(s, dir)
+      Stages.linked(Stages.mentions(Stages.tokens(pages), s), s)
+        .groupBy(col("doc_id"), col("alias"), col("qid"), col("ner_type"))
+        .agg(count(lit(1)).as("n_mentions"))
+        .orderBy(col("doc_id"), col("alias"))
+    }),
+    "q_pairs" -> ((s, dir) => {
+      val pages = Pages.fromDocuments(s, dir)
+      val linked = Stages.linked(Stages.mentions(Stages.tokens(pages), s), s)
+      Stages.pairs(linked)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+             countDistinct(col("h_qid")).as("n_entities"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_triples" -> ((s, dir) => {
+      val pages = Pages.fromDocuments(s, dir)
+      Stages.extractTriples(pages, s)
+        .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
+    })
+  )
+
+  // -------------------------------------------------------------- oracle SQL
+
+  /** Shared DuckDB CTE prefix reproducing the pipeline stages relationally.
+    * Generated from the same Gazetteer constants as the Spark side. */
+  private def kbCtes: String = s"""
+    aliases(alias, qid, prio) AS (SELECT * FROM (VALUES ${Gazetteer.aliasValues}) v(alias, qid, prio)),
+    etypes(qid, ner_type) AS (SELECT * FROM (VALUES ${Gazetteer.typeValues}) v(qid, ner_type)),
+    rules(h_type, t_type, pred) AS (SELECT * FROM (VALUES ${Gazetteer.ruleValues}) v(h_type, t_type, pred)),
+    norm_docs AS (
+      SELECT doc_id, trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')) AS text FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(range(len(string_split(text, ' ')))) AS pos
+      FROM norm_docs
+    ),
+    toks2 AS (SELECT doc_id, tok, pos, CAST(pos // ${Gazetteer.SentenceChunk} AS INT) AS sent_id FROM toks),
+    ments AS (
+      SELECT t.doc_id, t.sent_id, t.pos, t.tok AS alias
+      FROM toks2 t WHERE t.tok IN (SELECT alias FROM aliases)
+    ),
+    winner AS (
+      SELECT doc_id, alias, qid FROM (
+        SELECT m.doc_id, a.alias, a.qid,
+               row_number() OVER (PARTITION BY m.doc_id, a.alias ORDER BY a.prio ASC, a.qid ASC) AS rk
+        FROM (SELECT DISTINCT doc_id, alias FROM ments) m
+        JOIN aliases a ON m.alias = a.alias
+      ) WHERE rk = 1
+    ),
+    linked AS (
+      SELECT m.doc_id, m.sent_id, m.pos, m.alias, w.qid, e.ner_type
+      FROM ments m
+      JOIN winner w ON m.doc_id = w.doc_id AND m.alias = w.alias
+      JOIN etypes e ON w.qid = e.qid
+    ),
+    sent_ents AS (SELECT DISTINCT doc_id, sent_id, qid, ner_type FROM linked),
+    prs AS (
+      SELECT h.doc_id, h.sent_id, h.qid AS h_qid, h.ner_type AS h_type,
+             t.qid AS t_qid, t.ner_type AS t_type
+      FROM sent_ents h
+      JOIN sent_ents t ON h.doc_id = t.doc_id AND h.sent_id = t.sent_id AND h.qid <> t.qid
+    )"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+             CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c,
+             CAST(SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+             COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q2_join_agg" -> """
+      SELECT n_name,
+             CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
+             COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY 1""",
+    "q3_topk" -> """
+      SELECT o_orderkey, o_custkey, CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_c
+      FROM orders ORDER BY price_c DESC, o_orderkey ASC LIMIT 10""",
+    "q4_window" -> """
+      SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+      FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rk
+            FROM orders)
+      WHERE rk = 1 ORDER BY o_custkey""",
+    "q6_events_hourly" -> """
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q7_sessionize" -> """
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+      FROM (SELECT user_id,
+                   CASE WHEN prev_s IS NULL OR epoch(ts) - prev_s > 1800 THEN 1 ELSE 0 END AS new_sess
+            FROM (SELECT user_id, ts,
+                         lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_s
+                  FROM events))
+      GROUP BY user_id ORDER BY user_id""",
+    "q_extract_text" -> """
+      SELECT doc_id,
+             md5(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))) AS text_md5,
+             CAST(length(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))) AS INT) AS text_len
+      FROM documents ORDER BY doc_id""",
+    "q_mentions" -> s"""
+      WITH $kbCtes
+      SELECT doc_id, alias, COUNT(*) AS n_mentions, CAST(MIN(pos) AS INT) AS first_pos
+      FROM ments GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_linked" -> s"""
+      WITH $kbCtes
+      SELECT doc_id, alias, qid, ner_type, COUNT(*) AS n_mentions
+      FROM linked GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""",
+    "q_pairs" -> s"""
+      WITH $kbCtes
+      SELECT doc_id, COUNT(*) AS n_pairs, COUNT(DISTINCT h_qid) AS n_entities
+      FROM prs GROUP BY 1 ORDER BY 1""",
+    "q_triples" -> s"""
+      WITH $kbCtes
+      SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
+      FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type
+      ORDER BY 1, 2, 3, 4"""
+  )
 }

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.kb.Gazetteer
+
+/** Relational stages of the triple-extraction pipeline, each a pure
+  * DataFrame → DataFrame function so Catalyst sees one declarative plan
+  * end-to-end (filter pushdown, column pruning, broadcast selection all
+  * apply across stage boundaries).
+  *
+  * Scale notes (100 TB / 10^12 docs):
+  *  - tokens/mentions/pairs are all partition-local transforms of `pages`
+  *    (explode + broadcast joins) — NO shuffle until the final distinct.
+  *  - the alias dictionary and rule tables are broadcast (small dims).
+  *  - per-sentence pair generation is done with array HOFs inside the row,
+  *    never a relational self-join, so the n·(n−1) blowup stays inside one
+  *    task and never hits the shuffle.
+  */
+object Stages {
+
+  /** Flat token stream: one row per token with sentence chunking.
+    * Reference analog: per-doc token concatenation with offset prefix sums
+    * (`ATLOP+KIRE/data/gen_kg_data.py:249-269`). */
+  def tokens(pages: DataFrame): DataFrame =
+    pages
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("sent_id", (col("pos") / Gazetteer.SentenceChunk).cast("int"))
+
+  /** Broadcast alias dictionaries. */
+  def aliasDict(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Gazetteer.aliases.toDF("alias", "qid", "prio")
+  }
+
+  def typeDict(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Gazetteer.entityTypes.toDF("qid", "ner_type")
+  }
+
+  def ruleDict(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Gazetteer.relRules.toDF("h_type", "t_type", "pred")
+  }
+
+  /** Mention detection: exact token match against the gazetteer
+    * (reference: alias substring scan `ATLOP+KIRE/data/gen_coref_data.py:163-169`;
+    * token-level here because the extractor guarantees space-normalized text).
+    * Broadcast hash join — no shuffle. */
+  def mentions(tokens: DataFrame, spark: SparkSession): DataFrame = {
+    val dict = broadcast(aliasDict(spark).select("alias").distinct())
+    tokens.join(dict, tokens("tok") === dict("alias"), "inner")
+      .select(col("doc_id"), col("sent_id"), col("pos"), col("alias"))
+  }
+
+  /** Entity linking: two-tier dictionary probe + deterministic vote
+    * (`ATLOP+KIRE/data/gen_kg_data.py:76-87,272-304`). Vote per
+    * (doc, alias): support = mention count (equal across candidates of one
+    * alias), so the decisive order is (prio asc, qid asc) — mirroring the
+    * reference's explicit-dict-first rule and its stable-sort tie behavior.
+    * All joins broadcast; the groupBy keys on (doc_id, alias) which is
+    * bounded per doc — shuffle 1 (or map-side combinable). */
+  def linked(mentions: DataFrame, spark: SparkSession): DataFrame = {
+    val cands = mentions
+      .join(broadcast(aliasDict(spark)), Seq("alias"), "inner")
+    val w = Window.partitionBy("doc_id", "alias")
+      .orderBy(col("prio").asc, col("qid").asc)
+    val winner = cands
+      .select("doc_id", "alias", "qid", "prio").distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("alias"), col("qid"))
+    mentions.join(winner, Seq("doc_id", "alias"))
+      .join(broadcast(typeDict(spark)), Seq("qid"))
+      .select("doc_id", "sent_id", "pos", "alias", "qid", "ner_type")
+  }
+
+  /** Per-sentence entity set then ordered-pair generation (J4,
+    * `ATLOP+KIRE/prepro.py:137-143`: all ordered (h,t), h≠t). The pair
+    * cross-product is generated from collected per-sentence arrays — stays
+    * partition-local after the per-sentence collect. */
+  def pairs(linked: DataFrame): DataFrame = {
+    val sentEnts = linked
+      .groupBy("doc_id", "sent_id")
+      .agg(array_sort(collect_set(struct(col("qid"), col("ner_type")))).as("ents"))
+    sentEnts
+      .select(col("doc_id"), col("sent_id"), explode(col("ents")).as("h"), col("ents"))
+      .select(col("doc_id"), col("sent_id"), col("h"), explode(col("ents")).as("t"))
+      .filter(col("h.qid") =!= col("t.qid"))
+      .select(col("doc_id"), col("sent_id"),
+        col("h.qid").as("h_qid"), col("h.ner_type").as("h_type"),
+        col("t.qid").as("t_qid"), col("t.ner_type").as("t_type"))
+  }
+
+  /** Rule-based relation classification (the deterministic decode surface of
+    * the scoring kernel — see RelationScorer for the featurized path with
+    * identical output contract). Emits canonical distinct triples per doc. */
+  def triples(pairs: DataFrame, spark: SparkSession): DataFrame =
+    pairs
+      .join(broadcast(ruleDict(spark)), Seq("h_type", "t_type"), "inner")
+      .select(col("doc_id"), col("h_qid").as("subj"), col("pred"), col("t_qid").as("obj"))
+      .distinct()
+
+  /** End-to-end: pages → triples through the relational path. */
+  def extractTriples(pages: DataFrame, spark: SparkSession): DataFrame =
+    triples(pairs(linked(mentions(tokens(pages), spark), spark)), spark)
+}
