@@ -122,7 +122,47 @@ object SparkEntry {
       val pages = Pages.fromDocuments(s, dir)
       Stages.extractTriples(pages, s)
         .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
-    })
+    }),
+
+    // -- text analysis (training-data pipeline ops) --
+    "q_tokens" -> ((s, dir) =>
+      ops.TextAnalysis.tokenStats(ops.Corpora.normDocs(s, dir)).orderBy(col("doc_id"))),
+    "q_langid" -> ((s, dir) =>
+      ops.TextAnalysis.langId(ops.Corpora.normDocs(s, dir)).orderBy(col("doc_id"))),
+    "q_quality" -> ((s, dir) =>
+      ops.TextAnalysis.quality(ops.Corpora.normDocs(s, dir)).orderBy(col("doc_id"))),
+    "q_fingerprint" -> ((s, dir) =>
+      ops.TextAnalysis.fingerprint(ops.Corpora.normDocs(s, dir)).orderBy(col("doc_id"))),
+
+    // -- deduplication --
+    "q_dedup_exact" -> ((s, dir) =>
+      ops.Dedup.exact(ops.Corpora.withExactDups(ops.Corpora.normDocs(s, dir)))
+        .orderBy(col("doc_id"))),
+    "q_minhash_sig" -> ((s, dir) =>
+      ops.Dedup.minhash(ops.Corpora.withNearDups(ops.Corpora.normDocs(s, dir)), s)
+        .orderBy(col("doc_id"), col("seed"))),
+    "q_lsh_pairs" -> ((s, dir) =>
+      ops.Dedup.lshCandidates(ops.Dedup.lshBands(
+        ops.Dedup.minhash(ops.Corpora.withNearDups(ops.Corpora.normDocs(s, dir)), s)))
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_jaccard" -> ((s, dir) =>
+      ops.Dedup.jaccardPairs(ops.Corpora.withNearDups(ops.Corpora.normDocs(s, dir)), 600)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_simhash" -> ((s, dir) =>
+      ops.Dedup.simhash(ops.Corpora.normDocs(s, dir), s).orderBy(col("doc_id"))),
+
+    // -- similarity search --
+    "q_ann_cosine" -> ((s, dir) =>
+      ops.Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), 3, 20)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // -- multimodal plumbing --
+    "q_multimodal" -> ((s, dir) =>
+      ops.Multimodal.decodeMeta(ops.Corpora.normDocs(s, dir), s).toDF()
+        .orderBy(col("doc_id"))),
+    "q_frames" -> ((s, dir) =>
+      ops.Multimodal.sampleFrames(ops.Corpora.normDocs(s, dir), 50, s)
+        .orderBy(col("doc_id"), col("frame_idx")))
   )
 
   // -------------------------------------------------------------- oracle SQL
@@ -228,6 +268,164 @@ object SparkEntry {
       WITH $kbCtes
       SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
       FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type
-      ORDER BY 1, 2, 3, 4"""
+      ORDER BY 1, 2, 3, 4""",
+
+    "q_tokens" -> s"""
+      WITH $normDocsCte
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+             CAST(length(replace(text, ' ', '')) * 100 // len(string_split(text, ' ')) AS BIGINT) AS mean_tok_len_centi
+      FROM norm_docs ORDER BY doc_id""",
+    "q_langid" -> s"""
+      WITH $normDocsCte,
+      m AS (SELECT doc_id,
+                   len(list_filter(string_split(text, ' '),
+                       t -> list_contains($enMarkerSqlList, t))) AS n_markers,
+                   len(string_split(text, ' ')) AS n_toks
+            FROM norm_docs)
+      SELECT doc_id, CAST(n_markers AS INT) AS n_markers,
+             CAST(n_markers * 1000 // n_toks AS BIGINT) AS en_permille,
+             CASE WHEN n_markers * 1000 // n_toks >= 30 THEN 'en' ELSE 'und' END AS lang_pred
+      FROM m ORDER BY doc_id""",
+    "q_quality" -> s"""
+      WITH $normDocsCte,
+      m AS (SELECT doc_id, length(text) AS n_chars,
+                   len(string_split(text, ' ')) AS n_toks,
+                   len(list_filter(string_split(text, ' '),
+                       t -> list_contains($stopSqlList, t))) AS n_stop,
+                   len(list_distinct(string_split(text, ' '))) AS n_dist
+            FROM norm_docs)
+      SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(n_toks AS INT) AS n_tokens,
+             CAST(n_stop * 1000 // n_toks AS BIGINT) AS stop_permille,
+             CAST(n_dist * 1000 // n_toks AS BIGINT) AS ttr_permille,
+             (n_toks >= 10 AND n_dist * 1000 // n_toks >= 100) AS keep
+      FROM m ORDER BY doc_id""",
+    "q_fingerprint" -> s"""
+      WITH $normDocsCte
+      SELECT doc_id, md5(text) AS md5, substring(md5(text), 1, 16) AS fp64
+      FROM norm_docs ORDER BY doc_id""",
+
+    "q_dedup_exact" -> s"""
+      WITH $normDocsCte, $dupCorpusCte
+      SELECT doc_id, md5(text) AS md5, substring(md5(text), 1, 16) AS fp64,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+      FROM dup_corpus ORDER BY doc_id""",
+    "q_minhash_sig" -> s"""
+      WITH $normDocsCte, $nearCorpusCte, $minhashCtes
+      SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM mh ORDER BY 1, 2""",
+    "q_lsh_pairs" -> s"""
+      WITH $normDocsCte, $nearCorpusCte, $minhashCtes,
+      bands AS (
+        SELECT doc_id, CAST(seed // ${graft.ops.Dedup.BandRows} AS INT) AS band,
+               md5(MIN(minhash) || '|' || MAX(minhash)) AS band_sig
+        FROM mh GROUP BY doc_id, seed // ${graft.ops.Dedup.BandRows})
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      ORDER BY 1, 2""",
+    "q_jaccard" -> s"""
+      WITH $normDocsCte, $nearCorpusCte, $minhashCtes,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT c.doc_a, c.doc_b, c.n_common,
+             CAST(c.n_common * 1000 // (sa.n_sh + sb.n_sh - c.n_common) AS BIGINT) AS jaccard_permille
+      FROM common c
+      JOIN sizes sa ON c.doc_a = sa.doc_id
+      JOIN sizes sb ON c.doc_b = sb.doc_id
+      WHERE c.n_common * 1000 // (sa.n_sh + sb.n_sh - c.n_common) >= 600
+      ORDER BY 1, 2""",
+    "q_simhash" -> s"""
+      WITH $normDocsCte,
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM norm_docs),
+      tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+      bits AS (
+        SELECT doc_id, i,
+               CASE WHEN SUM(CASE WHEN substring(md5(tok), CAST(i + 1 AS INT), 1) >= '8'
+                                  THEN cnt ELSE -cnt END) > 0 THEN 1 ELSE 0 END AS bit
+        FROM tc, (SELECT unnest(range(32)) AS i) GROUP BY 1, 2)
+      SELECT doc_id, CAST(SUM(bit * CAST(pow(2, i) AS BIGINT)) AS BIGINT) AS simhash
+      FROM bits GROUP BY 1 ORDER BY 1""",
+
+    "q_ann_cosine" -> """
+      WITH qn AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+        FROM embeddings),
+      qn2 AS (SELECT vec_id, q,
+                     CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2 FROM qn),
+      dots AS (
+        SELECT a_id AS query_id, b_id AS neighbor_id, CAST(SUM(av * bv) AS BIGINT) AS dot FROM (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id, unnest(a.q) AS av, unnest(b.q) AS bv
+          FROM qn2 a, qn2 b WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id)
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT d.query_id, d.neighbor_id, d.dot,
+               row_number() OVER (PARTITION BY d.query_id
+                 ORDER BY CAST(d.dot AS DOUBLE) / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) DESC,
+                          d.neighbor_id ASC) AS rank
+        FROM dots d
+        JOIN qn2 na ON d.query_id = na.vec_id
+        JOIN qn2 nb ON d.neighbor_id = nb.vec_id)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "q_multimodal" -> s"""
+      WITH $normDocsCte
+      SELECT doc_id,
+             CAST(strlen(text) AS INT) AS n_bytes,
+             CAST(strlen(text) % 640 + 32 AS INT) AS width,
+             CAST((strlen(text) * 7) % 480 + 32 AS INT) AS height,
+             CAST(3 AS INT) AS channels,
+             CAST(CASE WHEN strlen(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE -1 END AS INT) AS first_byte
+      FROM norm_docs ORDER BY doc_id""",
+    "q_frames" -> s"""
+      WITH $normDocsCte
+      SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 50 AS INT) AS frame_off,
+             CAST(ascii(substring(text, CAST(i * 50 + 1 AS INT), 1)) AS INT) AS frame_byte
+      FROM norm_docs, (SELECT unnest(range(100)) AS i)
+      WHERE i * 50 < strlen(text) ORDER BY doc_id, frame_idx"""
   )
+
+  // oracle CTE fragments (DuckDB) generated alongside the Spark plans
+  private def enMarkerSqlList: String =
+    graft.ops.TextAnalysis.enMarkers.map(m => s"'$m'").mkString("[", ", ", "]")
+  private def stopSqlList: String =
+    (graft.ops.TextAnalysis.enMarkers ++ Seq("to", "in")).map(m => s"'$m'").mkString("[", ", ", "]")
+
+  private def normDocsCte: String =
+    """norm_docs AS (
+      SELECT doc_id, trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS text FROM documents)"""
+
+  private def dupCorpusCte: String =
+    """dup_corpus AS (
+      SELECT doc_id, text FROM norm_docs
+      UNION ALL SELECT doc_id + 1000000, text FROM norm_docs WHERE doc_id < 20)"""
+
+  private def nearCorpusCte: String =
+    """near_corpus AS (
+      SELECT doc_id, text FROM norm_docs
+      UNION ALL
+      SELECT doc_id + 1000000, array_to_string(string_split(text, ' ')[4:], ' ')
+      FROM norm_docs WHERE doc_id < 20 AND len(string_split(text, ' ')) >= 13)"""
+
+  private def minhashCtes: String = {
+    val k = graft.ops.Dedup.ShingleSize
+    val n = graft.ops.Dedup.NumHashes
+    s"""sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - ${k - 2}),
+                        i -> array_to_string(toks[i:i+${k - 1}], ' '))) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM near_corpus)
+          WHERE len(toks) >= $k)),
+      mh AS (
+        SELECT doc_id, seed, MIN(md5(seed::VARCHAR || '|' || sh)) AS minhash
+        FROM sh, (SELECT unnest(range($n)) AS seed) GROUP BY 1, 2)"""
+  }
 }

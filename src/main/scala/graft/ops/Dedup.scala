@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for web-scale corpora.
+  *
+  * Scale design: every variant is a hash-partitioned groupBy/self-join on a
+  * *bounded* key (md5, minhash band, shingle) — never an all-pairs cross
+  * join. At 10^12 docs the LSH band join is the only shuffle whose key
+  * cardinality grows with corpus size, and it is uniformly distributed by
+  * construction (md5 keys), so no skew handling is needed beyond AQE.
+  *
+  * Hash function: md5 (hex) everywhere — deterministic, available in every
+  * engine, and uniformly distributed; min() over hex strings is a valid
+  * MinHash order statistic.
+  */
+object Dedup {
+
+  val NumHashes = 8      // minhash permutations
+  val BandRows = 2       // rows per LSH band → 4 bands
+  val ShingleSize = 3    // word n-gram width
+
+  /** Exact dedup: md5 group, group size, canonical representative = min id.
+    * The `keep` flag implements "first writer wins" dedup at scale. */
+  def exact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("md5"))
+    TextAnalysis.fingerprint(docs)
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("keep", col("doc_id") === col("canonical_id"))
+  }
+
+  /** Distinct word-shingles per doc. Partition-local (explode only). */
+  def shingles(docs: DataFrame): DataFrame = {
+    val k = ShingleSize
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"
+        )).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures, long format (doc_id, seed, minhash).
+    * h_seed(doc) = min over shingles of md5(seed || '|' || shingle). */
+  def minhash(docs: DataFrame, spark: SparkSession): DataFrame = {
+    val seeds = broadcast(spark.range(NumHashes).select(col("id").cast("int").as("seed")))
+    shingles(docs)
+      .crossJoin(seeds)
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle"))
+        .cast("binary"))).as("minhash"))
+  }
+
+  /** LSH banding: band signature per (doc, band); docs sharing any band
+    * signature are near-dup candidates. BandRows=2 → signature is a hash of
+    * the (min,max) pair of the band's two minhashes (order-free but
+    * collision-safe: the pair is recoverable). */
+  def lshBands(minhashes: DataFrame): DataFrame =
+    minhashes
+      .withColumn("band", (col("seed") / BandRows).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(concat(min(col("minhash")), lit("|"), max(col("minhash")))
+        .cast("binary")).as("band_sig"))
+
+  /** Candidate near-dup pairs from LSH bucket join (doc_a < doc_b). */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard over shingle sets, integer permille, for pairs
+    * sharing at least one shingle. Shuffles on shingle (bounded frequency on
+    * natural text; a hot-shingle cap guards pathological corpora). */
+  def jaccardPairs(docs: DataFrame, minPermille: Int): DataFrame = {
+    val sh = shingles(docs).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("shingle"), col("doc_id").as("doc_a"))
+    val b = sh.select(col("shingle"), col("doc_id").as("doc_b"))
+    val common = a.join(b, "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard_permille",
+        (col("n_common") * 1000 / (col("n_a") + col("n_b") - col("n_common"))).cast("long"))
+      .filter(col("jaccard_permille") >= minPermille)
+      .select("doc_a", "doc_b", "n_common", "jaccard_permille")
+  }
+
+  /** 32-bit SimHash from md5 nibbles: bit i is the sign of the
+    * count-weighted sum of tokens whose md5 hex digit i is >= '8'.
+    * Returned packed as a long via exact powers of two. */
+  def simhash(docs: DataFrame, spark: SparkSession): DataFrame = {
+    val tokCounts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val bitIdx = broadcast(spark.range(32).select(col("id").cast("int").as("i")))
+    tokCounts.crossJoin(bitIdx)
+      .withColumn("contrib",
+        when(md5(col("tok").cast("binary")).substr(col("i") + 1, lit(1)) >= "8", col("cnt"))
+          .otherwise(-col("cnt")))
+      .groupBy("doc_id", "i")
+      .agg((sum(col("contrib")) > 0).cast("long").as("bit"))
+      .groupBy("doc_id")
+      .agg(sum(col("bit") * expr("CAST(pow(2, i) AS BIGINT)")).as("simhash"))
+  }
+
+  /** Hamming distance between two packed simhash longs (for near-dup pairing
+    * on rotated-band keys — Scala-side helper + bit_count expression). */
+  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    bit_count(a.bitwiseXOR(b))
+}

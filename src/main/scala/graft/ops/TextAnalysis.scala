@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All pure Column expressions (whole-stage codegen, no UDFs) and all
+  * integer-arithmetic ("permille/centi" fixed-point) so results are
+  * bit-reproducible across engines and partitionings — floating-point
+  * aggregation order can never leak into results.
+  */
+object TextAnalysis {
+
+  /** English-y marker words for the heuristic language scorer. */
+  val enMarkers: Seq[String] = Seq("the", "a", "of", "is", "and")
+
+  def tokensCol(text: Column): Column = split(text, " ")
+
+  /** Per-doc token statistics: counts + fixed-point mean token length. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      // mean token length in centi-chars: 100*(chars excl. spaces)/n_tokens
+      (length(regexp_replace(col("text"), " ", "")) * 100
+        / size(toks)).cast("long").as("mean_tok_len_centi"))
+  }
+
+  /** Heuristic language ID: marker-token ratio in permille, thresholded.
+    * (A real n-gram profile model slots into the same shape; the synthetic
+    * corpus shares one vocabulary so markers are the observable signal.) */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val markerArr = array(enMarkers.map(lit): _*)
+    val enCnt = size(filter(toks, t => array_contains(markerArr, t)))
+    docs.select(
+      col("doc_id"),
+      enCnt.as("n_markers"),
+      (enCnt * 1000 / size(toks)).cast("long").as("en_permille"))
+      .withColumn("lang_pred",
+        when(col("en_permille") >= 30, lit("en")).otherwise(lit("und")))
+  }
+
+  /** Quality scoring: length, stopword ratio, lexical diversity — the
+    * standard pre-training corpus filters, fixed-point. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val stopArr = array((enMarkers ++ Seq("to", "in")).map(lit): _*)
+    val stopCnt = size(filter(toks, t => array_contains(stopArr, t)))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_tokens"),
+      (stopCnt * 1000 / size(toks)).cast("long").as("stop_permille"),
+      (size(array_distinct(toks)) * 1000 / size(toks)).cast("long").as("ttr_permille"))
+      .withColumn("keep",
+        (col("n_tokens") >= 10) && (col("ttr_permille") >= 100))
+  }
+
+  /** Document fingerprint: md5 of the full text plus a 64-bit prefix key —
+    * the exact-dedup join key at scale (hash-partitionable). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("md5"),
+      substring(md5(col("text").cast("binary")), 1, 16).as("fp64"))
+}

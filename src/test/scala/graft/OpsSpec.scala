@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Behavioral tests for the training-data-pipeline operators: the injected
+  * duplicates must actually be FOUND (the oracle only proves engine parity,
+  * not that the operators detect what they claim to detect). */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  lazy val docs = Corpora.normDocs(spark, sfDir).cache()
+
+  test("exact dedup finds all 20 injected exact duplicates, keeps canonical") {
+    val d = Dedup.exact(Corpora.withExactDups(docs)).cache()
+    val dupGroups = d.filter(col("group_size") > 1)
+    assert(dupGroups.count() == 40)  // 20 originals + 20 copies
+    // copies are never the canonical representative
+    assert(d.filter(col("doc_id") >= 1000000L && col("keep")).count() == 0)
+    assert(d.filter(col("doc_id") < 1000000L && col("group_size") > 1 && !col("keep")).count() == 0)
+  }
+
+  test("minhash LSH recalls the injected near-duplicates") {
+    val corpus = Corpora.withNearDups(docs)
+    val nInjected = corpus.filter(col("doc_id") >= 1000000L).count()
+    val pairs = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(corpus, spark)))
+      .filter(col("doc_b") === col("doc_a") + 1000000L)
+    // ≥90% recall of the planted pairs (prob. of all 4 bands missing is tiny)
+    assert(pairs.count() >= (nInjected * 9) / 10, s"recall too low: ${pairs.count()}/$nInjected")
+  }
+
+  test("jaccard pairs: every planted pair passes the 600-permille gate") {
+    val corpus = Corpora.withNearDups(docs)
+    val nInjected = corpus.filter(col("doc_id") >= 1000000L).count()
+    val planted = Dedup.jaccardPairs(corpus, 600)
+      .filter(col("doc_b") === col("doc_a") + 1000000L)
+    assert(planted.count() == nInjected)
+  }
+
+  test("simhash: hamming distance between near-dups is small, random pairs large") {
+    val corpus = Corpora.withNearDups(docs)
+    val sh = Dedup.simhash(corpus, spark).cache()
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    val planted = a.join(b, col("doc_b") === col("doc_a") + 1000000L)
+      .select(Dedup.hamming(col("ha"), col("hb")).as("d"))
+    val maxPlanted = planted.agg(max(col("d")).cast("long")).head.getLong(0)
+    assert(maxPlanted <= 8, s"near-dup hamming too large: $maxPlanted")
+  }
+
+  test("brute-force ANN matches a driver-side exact recomputation") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val got = Similarity.bruteForceTopK(emb, 3, 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    // exact recomputation with the same quantization rule
+    val vecs = emb.collect().map { r =>
+      val e = r.getSeq[Float](r.fieldIndex("embedding"))
+      r.getLong(r.fieldIndex("vec_id")) ->
+        e.map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong).toArray
+    }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / math.sqrt(a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum.toDouble)
+    }
+    for (qid <- vecs.keys.filter(_ < 5)) {
+      val expected = vecs.keys.filter(_ != qid).toSeq
+        .sortBy(n => (-cos(vecs(qid), vecs(n)), n)).take(3)
+      for ((n, i) <- expected.zipWithIndex)
+        assert(got((qid, i + 1)) == n, s"query $qid rank ${i + 1}")
+    }
+  }
+
+  test("LSH ANN concentrates true neighbors better than uniform sampling") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val n = emb.count()
+    val bf = Similarity.bruteForceTopK(emb, 3, 20).select("query_id", "neighbor_id")
+    val sk = Similarity.bandSketches(emb, 8, 4, spark)
+    val probeSk = sk.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("band"), col("sig"))
+    val cands = probeSk.join(sk.withColumnRenamed("vec_id", "neighbor_id"), Seq("band", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct().cache()
+    val candFrac = cands.count().toDouble / (20.0 * (n - 1))
+    val recall = cands.intersect(bf).count().toDouble / bf.count()
+    // the defining LSH property: P(candidate | true neighbor) >> P(candidate)
+    assert(recall >= 1.5 * candFrac,
+      s"LSH no better than sampling: recall=$recall candFrac=$candFrac")
+    assert(recall >= 0.4, s"absolute recall too low: $recall")
+    // and the end-to-end operator returns ranked rows
+    assert(Similarity.lshTopK(emb, 3, 20, 8, 4, spark).count() > 0)
+  }
+
+  test("multimodal kernel output matches metadata contract") {
+    val meta = Multimodal.decodeMeta(docs, spark).toDF().cache()
+    assert(meta.filter(col("width") < 32 || col("width") >= 672).count() == 0)
+    assert(meta.filter(col("n_bytes") <= 0).count() == 0)
+    val frames = Multimodal.sampleFrames(docs, 50, spark)
+    // every doc yields ceil(n_bytes/50) frames
+    val bad = frames.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      .join(meta, "doc_id")
+      .filter(col("nf") =!= ceil(col("n_bytes") / lit(50.0)).cast("long"))
+    assert(bad.count() == 0)
+  }
+}
