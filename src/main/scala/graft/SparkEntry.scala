@@ -124,6 +124,52 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
     }),
 
+    // -- KG enrichment / coref / canonicalization / kernel / eval --
+    "q_kg_onehop" -> ((s, dir) => {
+      val linked = Stages.linked(Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s), s)
+      pipeline.Enrich.oneHop(linked, s)
+        .orderBy(col("doc_id"), col("h"), col("r"), col("t"))
+    }),
+    "q_kg_attrs" -> ((s, dir) => {
+      val linked = Stages.linked(Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s), s)
+      pipeline.Enrich.attributes(linked, s).orderBy(col("qid"))
+    }),
+    "q_coref_top8" -> ((s, dir) => {
+      val ments = Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s)
+      pipeline.Coref.aliasCoref(ments)
+        .select("doc_id", "alias", "p1", "p2", "dist", "rank")
+        .orderBy(col("doc_id"), col("alias"), col("p1"), col("rank"))
+    }),
+    "q_dis_bucket" -> ((s, dir) => {
+      val ments = Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s)
+      pipeline.Coref.distanceHistogram(pipeline.Coref.aliasCoref(ments))
+        .orderBy(col("bucket"))
+    }),
+    "q_components" -> ((s, dir) => {
+      val linked = Stages.linked(Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s), s)
+      val prs = Stages.pairs(linked).filter(col("h_qid") < col("t_qid"))
+      val verts = linked.select(col("doc_id").as("scope"), col("qid").as("v")).distinct()
+      val edges = prs.select(col("doc_id").as("scope"),
+        col("h_qid").as("src"), col("t_qid").as("dst")).distinct()
+      ops.ConnectedComponents.labelPropagation(verts, edges)
+        .select(col("scope").as("doc_id"), col("v").as("qid"), col("comp"))
+        .orderBy(col("doc_id"), col("qid"))
+    }),
+    "q_scored_triples" -> ((s, dir) => {
+      // the mapPartitions scoring kernel; with fixture weights its decode is
+      // provably identical to the rule path, so it shares q_triples' oracle
+      val linked = Stages.linked(Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s), s)
+      pipeline.RelationScorer.extract(linked, s)
+        .select("doc_id", "subj", "pred", "obj").distinct()
+        .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
+    }),
+    "q_eval" -> ((s, dir) => {
+      val triples = Stages.extractTriples(Pages.fromDocuments(s, dir), s).cache()
+      val gold = triples.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("intrain", col("doc_id") % 3 === 0)
+      eval.Evaluator.score(triples, gold)
+    }),
+
     // -- text analysis (training-data pipeline ops) --
     "q_tokens" -> ((s, dir) =>
       ops.TextAnalysis.tokenStats(ops.Corpora.normDocs(s, dir)).orderBy(col("doc_id"))),
@@ -269,6 +315,99 @@ object SparkEntry {
       SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
       FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type
       ORDER BY 1, 2, 3, 4""",
+
+    "q_kg_onehop" -> s"""
+      WITH $kbCtes,
+      kg(h, r, t) AS (SELECT * FROM (VALUES ${Gazetteer.kgTripleValues}) v(h, r, t)),
+      docents AS (SELECT DISTINCT doc_id, qid FROM linked)
+      SELECT DISTINCT d.doc_id, k.h, k.r, k.t
+      FROM docents d JOIN kg k ON k.h = d.qid OR k.t = d.qid
+      ORDER BY 1, 2, 3, 4""",
+    "q_kg_attrs" -> s"""
+      WITH $kbCtes,
+      attrs(qid, kind, text) AS (SELECT * FROM (VALUES ${Gazetteer.kgAttrValues}) v(qid, kind, text)),
+      wide AS (
+        SELECT qid,
+               MAX(CASE WHEN kind = 'label' THEN text END) AS label_raw,
+               MAX(CASE WHEN kind = 'description' THEN text END) AS desc_raw,
+               MAX(CASE WHEN kind = 'instance of' THEN text END) AS inst_raw,
+               MAX(CASE WHEN kind = 'alias' THEN text END) AS alias_raw
+        FROM attrs GROUP BY qid)
+      SELECT q.qid,
+             COALESCE(w.label_raw, q.qid) AS label,
+             COALESCE(w.desc_raw, w.label_raw, q.qid) AS description,
+             COALESCE(w.inst_raw, 'entity') AS instance_of,
+             COALESCE(w.alias_raw, w.label_raw, q.qid) AS alias
+      FROM (SELECT DISTINCT qid FROM linked) q
+      LEFT JOIN wide w ON q.qid = w.qid ORDER BY q.qid""",
+    "q_coref_top8" -> s"""
+      WITH $kbCtes,
+      cp AS (
+        SELECT m1.doc_id, m1.alias, m1.pos AS p1, m2.pos AS p2,
+               abs(m1.pos - m2.pos) AS dist,
+               row_number() OVER (PARTITION BY m1.doc_id, m1.alias, m1.pos
+                 ORDER BY abs(m1.pos - m2.pos) ASC, m2.pos ASC) AS rank
+        FROM ments m1 JOIN ments m2
+          ON m1.doc_id = m2.doc_id AND m1.alias = m2.alias AND m1.pos <> m2.pos)
+      SELECT doc_id, alias, CAST(p1 AS INT) AS p1, CAST(p2 AS INT) AS p2,
+             CAST(dist AS INT) AS dist, CAST(rank AS INT) AS rank
+      FROM cp WHERE rank <= ${graft.pipeline.Coref.TopPartners}
+      ORDER BY doc_id, alias, p1, rank""",
+    "q_dis_bucket" -> s"""
+      WITH $kbCtes,
+      cp AS (
+        SELECT m1.doc_id, abs(m1.pos - m2.pos) AS dist,
+               row_number() OVER (PARTITION BY m1.doc_id, m1.alias, m1.pos
+                 ORDER BY abs(m1.pos - m2.pos) ASC, m2.pos ASC) AS rank
+        FROM ments m1 JOIN ments m2
+          ON m1.doc_id = m2.doc_id AND m1.alias = m2.alias AND m1.pos <> m2.pos)
+      SELECT CAST(CASE WHEN dist <= 0 THEN 0 WHEN dist < 2 THEN 1 WHEN dist < 4 THEN 2
+                  WHEN dist < 8 THEN 3 WHEN dist < 16 THEN 4 WHEN dist < 32 THEN 5
+                  WHEN dist < 64 THEN 6 WHEN dist < 128 THEN 7 WHEN dist < 256 THEN 8
+                  ELSE 9 END AS INT) AS bucket,
+             COUNT(*) AS n_pairs
+      FROM cp WHERE rank <= ${graft.pipeline.Coref.TopPartners}
+      GROUP BY 1 ORDER BY 1""",
+    "q_components" -> s"""
+      WITH RECURSIVE $kbCtes,
+      verts AS (SELECT DISTINCT doc_id, qid FROM sent_ents),
+      e0 AS (SELECT DISTINCT doc_id, h_qid AS a, t_qid AS b FROM prs WHERE h_qid < t_qid),
+      bidir AS (SELECT doc_id, a, b FROM e0 UNION SELECT doc_id, b, a FROM e0),
+      reach(doc_id, src, dst) AS (
+        SELECT doc_id, qid, qid FROM verts
+        UNION
+        SELECT r.doc_id, r.src, e.b FROM reach r
+        JOIN bidir e ON r.doc_id = e.doc_id AND r.dst = e.a)
+      SELECT doc_id, src AS qid, MIN(dst) AS comp
+      FROM reach GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_scored_triples" -> s"""
+      WITH $kbCtes
+      SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
+      FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type
+      ORDER BY 1, 2, 3, 4""",
+    "q_eval" -> s"""
+      WITH $kbCtes,
+      trip AS (
+        SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
+        FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type),
+      g AS (SELECT *, doc_id % 3 = 0 AS intrain FROM trip WHERE doc_id % 7 <> 0),
+      j AS (SELECT t.*, g.intrain FROM trip t
+            LEFT JOIN g ON t.doc_id = g.doc_id AND t.subj = g.subj
+                       AND t.pred = g.pred AND t.obj = g.obj),
+      c AS (SELECT
+              (SELECT COUNT(*) FROM trip) AS n_pred,
+              (SELECT COUNT(*) FROM g) AS n_gold,
+              (SELECT COUNT(*) FROM j WHERE intrain IS NOT NULL) AS n_correct,
+              (SELECT COUNT(*) FROM j WHERE intrain = false) AS n_correct_ign,
+              (SELECT COUNT(*) FROM g WHERE NOT intrain) AS n_gold_ign)
+      SELECT n_pred, n_gold, n_correct, n_correct_ign,
+             CAST(CASE WHEN n_pred = 0 THEN 0 ELSE n_correct * 1000 // n_pred END AS BIGINT) AS p_permille,
+             CAST(CASE WHEN n_gold = 0 THEN 0 ELSE n_correct * 1000 // n_gold END AS BIGINT) AS r_permille,
+             CAST(CASE WHEN n_correct = 0 THEN 0 ELSE n_correct * 2000 // (n_pred + n_gold) END AS BIGINT) AS f1_permille,
+             CAST(CASE WHEN n_pred - (n_correct - n_correct_ign) = 0 THEN 0
+                  ELSE n_correct_ign * 1000 // (n_pred - (n_correct - n_correct_ign)) END AS BIGINT) AS p_ign_permille,
+             CAST(CASE WHEN n_gold_ign = 0 THEN 0 ELSE n_correct_ign * 1000 // n_gold_ign END AS BIGINT) AS r_ign_permille
+      FROM c""",
 
     "q_tokens" -> s"""
       WITH $normDocsCte

@@ -1,0 +1,147 @@
+package graft.docred
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.kb.Gazetteer
+import graft.core.Schemas.DocREDDoc
+
+/** DocRED/DWIE-shaped document ingestion and the reference's preprocessing
+  * semantics, re-expressed relationally:
+  *
+  *  - JSON scan with explicit schema (S1, `ATLOP+KIRE/prepro.py:30-51`)
+  *  - pair generation: all ordered (h,t), h≠t, n·(n−1) per doc
+  *    (J4, `ATLOP+KIRE/prepro.py:137-157`)
+  *  - entity linking with majority vote over mention candidates, explicit
+  *    in-doc `link` override, and NT-fallback ids
+  *    (A1, `ATLOP+KIRE/data/gen_kg_data.py:272-304`)
+  *  - gold-triple emission: labels mapped through voted entity ids, dedup
+  *    (`gen_kg_data.py:306-326`)
+  *
+  * Tie semantics preserved from the reference: Python's Counter.most_common
+  * uses the stable insertion order, i.e. the candidate first produced by the
+  * earliest mention wins among equals — here: (count desc, first mention
+  * index asc, prio asc, qid asc).
+  */
+object DocRED {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("title", StringType),
+    StructField("sents", ArrayType(ArrayType(StringType))),
+    StructField("vertexSet", ArrayType(ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("pos", ArrayType(IntegerType)),
+      StructField("sent_id", IntegerType),
+      StructField("type", StringType),
+      StructField("link", StringType)))))),
+    StructField("labels", ArrayType(StructType(Seq(
+      StructField("h", IntegerType),
+      StructField("t", IntegerType),
+      StructField("r", StringType),
+      StructField("evidence", ArrayType(IntegerType))))))))
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(docSchema).json(path)
+
+  /** Exploded mention table: (title, vertex_id, mention_idx, name, sent_id,
+    * pos_start, pos_end, ner_type, link). */
+  def mentions(docs: DataFrame): DataFrame =
+    docs
+      .select(col("title"), posexplode(col("vertexSet")).as(Seq("vertex_id", "ms")))
+      .select(col("title"), col("vertex_id"), posexplode(col("ms")).as(Seq("mention_idx", "m")))
+      .select(col("title"), col("vertex_id"), col("mention_idx"),
+        col("m.name").as("name"), col("m.sent_id").as("sent_id"),
+        element_at(col("m.pos"), 1).as("pos_start"),
+        element_at(col("m.pos"), 2).as("pos_end"),
+        col("m.type").as("ner_type"), col("m.link").as("link"))
+
+  /** Ordered pair table: one row per (h,t), h≠t — exactly n·(n−1) rows per
+    * doc (asserted in tests, mirroring prepro.py:157). */
+  def pairs(docs: DataFrame): DataFrame = {
+    val ents = docs.select(col("title"), size(col("vertexSet")).as("n"))
+      .select(col("title"), explode(sequence(lit(0), col("n") - 1)).as("h"), col("n"))
+      .select(col("title"), col("h"), explode(sequence(lit(0), col("n") - 1)).as("t"))
+      .filter(col("h") =!= col("t"))
+    ents
+  }
+
+  /** Entity linking with reference vote semantics. Candidates per mention:
+    * the in-doc `link` field (highest priority, prio = -1,
+    * gen_kg_data.py:278-279) plus the two-tier alias dictionary probed with
+    * the normalized mention name (T1). Vote per (title, vertex): candidate
+    * with most supporting mentions; ties → earliest mention, then prio,
+    * then qid. Unlinked vertices get NT ids numbered densely in
+    * (title, vertex_id) order. Returns (title, vertex_id, eid, linked). */
+  def linkEntities(docs: DataFrame, spark: SparkSession): DataFrame = {
+    import graft.text.Normalize
+    val m = mentions(docs)
+    val dict = broadcast(graft.pipeline.Stages.aliasDict(spark))
+    val fromLink = m.filter(col("link").isNotNull)
+      .select(col("title"), col("vertex_id"), col("mention_idx"),
+        col("link").as("qid"), lit(-1).as("prio"))
+    val fromDict = m
+      .withColumn("norm_name", Normalize.handleLabel(col("name")))
+      .join(dict, col("norm_name") === dict("alias"))
+      .select(col("title"), col("vertex_id"), col("mention_idx"), col("qid"), col("prio"))
+    val cands = fromLink.union(fromDict)
+    val voted = cands
+      .groupBy("title", "vertex_id", "qid")
+      .agg(count(lit(1)).as("support"),
+        min(col("mention_idx")).as("first_mention"),
+        min(col("prio")).as("best_prio"))
+    val w = Window.partitionBy("title", "vertex_id")
+      .orderBy(col("support").desc, col("first_mention").asc,
+        col("best_prio").asc, col("qid").asc)
+    val winners = voted.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("title"), col("vertex_id"), col("qid"))
+    // all vertices (including unlinked) in deterministic order for NT ids
+    val allVerts = docs.select(col("title"),
+        posexplode(col("vertexSet")).as(Seq("vertex_id", "ms")))
+      .select("title", "vertex_id")
+    val wNt = Window.orderBy(col("title").asc, col("vertex_id").asc)
+    val unlinked = allVerts.join(winners, Seq("title", "vertex_id"), "left_anti")
+      .withColumn("eid", concat(lit("NT"), row_number().over(wNt) - 1))
+      .withColumn("linked", lit(false))
+    winners.select(col("title"), col("vertex_id"), col("qid").as("eid"),
+        lit(true).as("linked"))
+      .union(unlinked.select("title", "vertex_id", "eid", "linked"))
+  }
+
+  /** Gold triples: labels (h,t,r) mapped through voted entity ids, global
+    * dedup (A2). Returns (title, subj, pred, obj). */
+  def goldTriples(docs: DataFrame, entityIds: DataFrame): DataFrame = {
+    val labels = docs.select(col("title"), explode(col("labels")).as("l"))
+      .select(col("title"), col("l.h").as("h"), col("l.t").as("t"), col("l.r").as("r"))
+    labels
+      .join(entityIds.select(col("title"), col("vertex_id").as("h"), col("eid").as("subj")),
+        Seq("title", "h"))
+      .join(entityIds.select(col("title"), col("vertex_id").as("t"), col("eid").as("obj")),
+        Seq("title", "t"))
+      .select(col("title"), col("subj"), col("r").as("pred"), col("obj"))
+      .distinct()
+  }
+
+  /** Pair features for the scoring kernel from DocRED vertexSet geometry:
+    * minimum sentence distance over the mention cross-product (A7) and
+    * same-sentence co-occurrence count. */
+  def pairFeatures(docs: DataFrame, entityIds: DataFrame): DataFrame = {
+    val m = mentions(docs)
+    val h = m.select(col("title"), col("vertex_id").as("h"),
+      col("sent_id").as("h_sent"), col("ner_type").as("h_type"))
+    val t = m.select(col("title"), col("vertex_id").as("t"),
+      col("sent_id").as("t_sent"), col("ner_type").as("t_type"))
+    h.join(t, Seq("title"))
+      .filter(col("h") =!= col("t"))
+      .groupBy("title", "h", "t")
+      .agg(
+        max(col("h_type")).as("h_type"), max(col("t_type")).as("t_type"),
+        min(abs(col("h_sent") - col("t_sent"))).cast("int").as("min_sent_dist"),
+        sum(when(col("h_sent") === col("t_sent"), 1L).otherwise(0L)).as("n_cooc"))
+      .join(entityIds.select(col("title"), col("vertex_id").as("h"), col("eid").as("h_qid")),
+        Seq("title", "h"))
+      .join(entityIds.select(col("title"), col("vertex_id").as("t"), col("eid").as("t_qid")),
+        Seq("title", "t"))
+  }
+}

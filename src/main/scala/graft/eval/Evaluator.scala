@@ -1,0 +1,93 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Spark port of the reference's official evaluation
+  * (`ATLOP+KIRE/evaluation.py:70-193`):
+  *  - submission dedup (W4: drop duplicate (title,h,t,r),
+  *    `evaluation.py:112-118`)
+  *  - truth join → correct counts (J7), P = correct/|preds|,
+  *    R = correct/|gold| (`evaluation.py:160-168`)
+  *  - "Ign" variant: exclude train-leaked facts from the precision
+  *    numerator and denominator adjustment (`evaluation.py:180-192`)
+  *  - PR-curve theta sweep (W2): global sort by score desc, cumulative
+  *    precision/recall, argmax F1 (`GLRE+KIRE/nnet/trainer.py:609-680`)
+  *
+  * Metrics are reported in exact permille (integer) so they are
+  * engine-reproducible; the F1 argmax uses exact integer cross-products to
+  * avoid FP ordering artifacts.
+  */
+object Evaluator {
+
+  private def keyCols = Seq("doc_id", "subj", "pred", "obj").map(col)
+
+  /** Micro P/R/F1 (permille) of preds vs gold; gold may carry an `intrain`
+    * flag for the Ign variant. One row out. */
+  def score(preds: DataFrame, gold: DataFrame): DataFrame = {
+    val p = preds.select(keyCols: _*).distinct() // W4 submission dedup
+    val g = gold.select((keyCols :+ coalesce(col("intrain"), lit(false)).as("intrain")): _*)
+      .groupBy("doc_id", "subj", "pred", "obj")
+      .agg(max(col("intrain")).as("intrain"))
+    val joined = p.join(g, Seq("doc_id", "subj", "pred", "obj"), "left")
+      .withColumn("correct", col("intrain").isNotNull)
+    val nPred = joined.count()
+    val nCorrect = joined.filter(col("correct")).count()
+    val nCorrectIgn = joined.filter(col("correct") && !col("intrain")).count()
+    val nGold = g.count()
+    val nGoldIgn = g.filter(!col("intrain")).count()
+    val spark = preds.sparkSession
+    import spark.implicits._
+    val precision = if (nPred == 0) 0L else nCorrect * 1000 / nPred
+    val recall = if (nGold == 0) 0L else nCorrect * 1000 / nGold
+    val f1 = if (nCorrect == 0) 0L
+      else nCorrect * 2000 / (nPred + nGold)
+    val pIgn = if (nPred - (nCorrect - nCorrectIgn) == 0) 0L
+      else nCorrectIgn * 1000 / (nPred - (nCorrect - nCorrectIgn))
+    val rIgn = if (nGoldIgn == 0) 0L else nCorrectIgn * 1000 / nGoldIgn
+    Seq((nPred, nGold, nCorrect, nCorrectIgn, precision, recall, f1, pIgn, rIgn))
+      .toDF("n_pred", "n_gold", "n_correct", "n_correct_ign",
+        "p_permille", "r_permille", "f1_permille", "p_ign_permille", "r_ign_permille")
+  }
+
+  /** Driver-side exact P/R as doubles (for ScalaTest gates). */
+  def precisionRecall(preds: DataFrame, gold: DataFrame): (Double, Double) = {
+    val p = preds.select(keyCols: _*).distinct().cache()
+    val g = gold.select(keyCols: _*).distinct().cache()
+    val correct = p.join(g, Seq("doc_id", "subj", "pred", "obj"), "left_semi").count()
+    val (np, ng) = (p.count(), g.count())
+    (if (np == 0) 0.0 else correct.toDouble / np,
+     if (ng == 0) 0.0 else correct.toDouble / ng)
+  }
+
+  /** PR-curve theta sweep over scored predictions (score column): for every
+    * threshold position, cumulative precision/recall; returns the sweep
+    * table with an `is_best` marker at the F1-argmax (W2 semantics).
+    * Comparisons use integer cross-products: F1_i > F1_j ⟺
+    * c_i·(j + G) > c_j·(i + G) after clearing denominators. */
+  def thetaSweep(scored: DataFrame, gold: DataFrame): DataFrame = {
+    val g = gold.select(keyCols: _*).distinct()
+    val nGold = g.count()
+    val w = Window.orderBy(col("score").desc,
+      col("doc_id").asc, col("subj").asc, col("pred").asc, col("obj").asc)
+    val marked = scored
+      .join(g.withColumn("correct", lit(1L)), Seq("doc_id", "subj", "pred", "obj"), "left")
+      .withColumn("correct", coalesce(col("correct"), lit(0L)))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum_correct", sum(col("correct")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // F1 at cut i: 2c/(i+G); argmax by the ratio (per-row scalar division,
+    // deterministic), ties broken by the earliest cut.
+    val best = marked
+      .select(col("i").as("bi"), col("cum_correct").as("bc"))
+      .orderBy((col("bc").cast("double") / (lit(nGold.toDouble) + col("bi"))).desc,
+        col("bi").asc)
+      .limit(1)
+    marked.crossJoin(broadcast(best))
+      .withColumn("is_best", col("i") === col("bi"))
+      .withColumn("p_permille", col("cum_correct") * 1000 / col("i"))
+      .withColumn("r_permille", col("cum_correct") * 1000 / lit(math.max(nGold, 1L)))
+      .select("i", "score", "correct", "cum_correct", "p_permille", "r_permille", "is_best")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over an entity graph — the canonicalization
+  * primitive (SO4; reference: `networkx.connected_components` over the
+  * mention/kb-id graph, `GLRE+KIRE/data_processing/tools.py:192-225`).
+  *
+  * Two implementations:
+  *  - `labelPropagation`: distributed iterative min-label propagation over
+  *    (scope, src, dst) edges — each round is one shuffle; converges in
+  *    O(diameter) rounds. `localCheckpoint` cuts the growing lineage so the
+  *    loop survives hundreds of rounds at scale.
+  *  - `unionFindLocal`: plain Scala union-find for partition-local graphs
+  *    (per-document canonicalization inside a kernel).
+  *
+  * Determinism: component label = min vertex id of the component — a pure
+  * function of the graph, independent of partitioning or iteration order.
+  */
+object ConnectedComponents {
+
+  /** Distributed min-label propagation.
+    * vertices: (scope, v); edges: (scope, src, dst) undirected.
+    * Returns (scope, v, comp). */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame,
+                       maxIter: Int = 20): DataFrame = {
+    val bidir = edges.select(col("scope"), col("src"), col("dst"))
+      .union(edges.select(col("scope"), col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = vertices.select(col("scope"), col("v"), col("v").as("comp"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = bidir
+        .join(labels, bidir("scope") === labels("scope") && bidir("dst") === labels("v"))
+        .select(bidir("scope"), col("src").as("v"), col("comp"))
+        .groupBy("scope", "v").agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(neighborMin, Seq("scope", "v"), "left")
+        .select(col("scope"), col("v"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint() // cut lineage; also stabilizes the loop condition
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("scope", "v"))
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Partition-local union-find (path compression + union by attachment to
+    * smaller root id — the min-id root IS the canonical label). */
+  def unionFindLocal[T](vertices: Seq[T], edges: Seq[(T, T)])(implicit ord: Ordering[T]): Map[T, T] = {
+    val parent = scala.collection.mutable.Map[T, T](vertices.map(v => v -> v): _*)
+    def find(x: T): T = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    vertices.map(v => v -> find(v)).toMap
+  }
+}

@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kb.Gazetteer
+
+/** KG enrichment joins (SURVEY J2/J3):
+  *  - one-hop subgraph extraction: triples whose head OR tail is a linked
+  *    document entity (`ATLOP+KIRE/data/gen_kg_data.py:370-394`)
+  *  - entity-attribute fetch with default fill: description/alias fall back
+  *    to label; label falls back to the entity id
+  *    (`ATLOP+KIRE/data/gen_kg_data.py:578-608`)
+  *
+  * Scale note: in this sandbox the KB side is broadcast; at 100 TB the
+  * attrs/triples tables are the big side and the join flips to a sort-merge
+  * join on canonical entity id (north_star), with the doc-entity side
+  * pre-partitioned by qid. The disjunctive h∈E ∪ t∈E membership is two
+  * equi-joins + union — never an OR-join (which would force a nested loop).
+  */
+object Enrich {
+
+  def kgTriples(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Gazetteer.kgTriples.toDF("h", "r", "t")
+  }
+
+  def kgAttrs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Gazetteer.kgAttrs.toDF("qid", "kind", "text")
+  }
+
+  /** Per-document one-hop KG subgraph: (doc_id, h, r, t) where h or t is a
+    * linked entity of the doc. */
+  def oneHop(linked: DataFrame, spark: SparkSession): DataFrame = {
+    val docEnts = linked.select(col("doc_id"), col("qid")).distinct()
+    val kg = broadcast(kgTriples(spark))
+    val byHead = docEnts.join(kg, docEnts("qid") === kg("h"))
+      .select(col("doc_id"), col("h"), col("r"), col("t"))
+    val byTail = docEnts.join(kg, docEnts("qid") === kg("t"))
+      .select(col("doc_id"), col("h"), col("r"), col("t"))
+    byHead.union(byTail).distinct()
+  }
+
+  /** Entity attributes with reference default-fill, wide format:
+    * (qid, label, description, instance_of, alias). */
+  def attributes(linked: DataFrame, spark: SparkSession): DataFrame = {
+    val qids = linked.select(col("qid")).distinct()
+    val wide = kgAttrs(spark).groupBy("qid").agg(
+      max(when(col("kind") === "label", col("text"))).as("label_raw"),
+      max(when(col("kind") === "description", col("text"))).as("desc_raw"),
+      max(when(col("kind") === "instance of", col("text"))).as("inst_raw"),
+      max(when(col("kind") === "alias", col("text"))).as("alias_raw"))
+    qids.join(broadcast(wide), Seq("qid"), "left")
+      .select(
+        col("qid"),
+        coalesce(col("label_raw"), col("qid")).as("label"),
+        coalesce(col("desc_raw"), col("label_raw"), col("qid")).as("description"),
+        coalesce(col("inst_raw"), lit("entity")).as("instance_of"),
+        coalesce(col("alias_raw"), col("label_raw"), col("qid")).as("alias"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kb.Gazetteer
+
+/** The relation-classification kernel: a deterministic, featurized scorer
+  * with the same I/O contract as the reference's model inference
+  * (SURVEY §2.9): per entity pair → per-relation logits → adaptive-threshold
+  * decode → emitted triples.
+  *
+  * Execution model (north_star): `mapPartitions` with pre-broadcast weights —
+  * one weight-map deserialization per partition, not per row; rows stream
+  * through without materializing the partition.
+  *
+  * Decode semantics are ATLOP's adaptive threshold
+  * (`ATLOP+KIRE/losses.py:32-42`): the threshold class TH has logit 0;
+  * predicted labels are those with logit > logit(TH), capped at top
+  * `MaxLabels` by logit; none above TH ⇒ NA (no triple).
+  *
+  * The committed fixture weights make the decode agree exactly with the
+  * rule table (`Gazetteer.relRules`): +2 for rule-sanctioned
+  * (hType,tType,rel), −2 otherwise, plus sub-unit distance/co-occurrence
+  * features that never flip the sign. That identity is the kernel's
+  * correctness gate (kernel path ≡ Catalyst rule path, tested both in
+  * ScalaTest and against the DuckDB oracle).
+  */
+object RelationScorer {
+
+  val MaxLabels = 4 // ATLOP num_labels cap (losses.py:37)
+
+  /** All relation labels (the "classes"); index 0 is the TH class. */
+  val relations: Seq[String] = Gazetteer.relRules.map(_._3).distinct.sorted
+
+  /** log2 distance bucketing `dis2idx` (M1,
+    * `ATLOP+KIRE/knowledge_injection_layer/kg_data_loader.py:62-72`):
+    * 1→1, 2-3→2, 4-7→3, 8-15→4, …, ≥256→9. */
+  def disBucket(d: Int): Int = {
+    if (d <= 0) 0
+    else if (d >= 256) 9
+    else 32 - Integer.numberOfLeadingZeros(d) // floor(log2(d)) + 1
+  }
+
+  /** Column-expression twin of disBucket: an exact integer when-ladder
+    * (floor(log2(x)) via FP log2 is NOT exact at power-of-two boundaries). */
+  def disBucketCol(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(d <= 0, 0).when(d < 2, 1).when(d < 4, 2).when(d < 8, 3)
+      .when(d < 16, 4).when(d < 32, 5).when(d < 64, 6)
+      .when(d < 128, 7).when(d < 256, 8).otherwise(9)
+      .cast("int")
+
+  /** Fixture weights: (hType, tType, rel) → logit contribution. */
+  case class Weights(typePair: Map[(String, String, String), Double],
+                     wDist: Double, wCooc: Double)
+
+  def fixtureWeights: Weights = {
+    val ruleSet = Gazetteer.relRules.toSet
+    val types = Gazetteer.entityTypes.map(_._2).distinct
+    val all = for {
+      h <- types; t <- types; r <- relations
+    } yield (h, t, r) -> (if (ruleSet.contains((h, t, r))) 2.0 else -2.0)
+    Weights(all.toMap, wDist = -0.05, wCooc = 0.1)
+  }
+
+  case class PairFeature(doc_id: Long, h_qid: String, h_type: String,
+                         t_qid: String, t_type: String,
+                         min_sent_dist: Int, n_cooc: Long)
+
+  case class ScoredTriple(doc_id: Long, subj: String, pred: String,
+                          obj: String, score: Double)
+
+  /** Pair features from the linked-mention table: minimum sentence distance
+    * between any mentions of h and t (A7, `ATLOP+KIRE/prepro.py:145-154`)
+    * and co-occurring-sentence count. Grouped per doc — one shuffle on
+    * (doc_id, h_qid, t_qid), map-side combinable. */
+  def pairFeatures(linked: DataFrame): DataFrame = {
+    val h = linked.select(col("doc_id"), col("sent_id").as("h_sent"),
+      col("qid").as("h_qid"), col("ner_type").as("h_type"))
+    val t = linked.select(col("doc_id"), col("sent_id").as("t_sent"),
+      col("qid").as("t_qid"), col("ner_type").as("t_type"))
+    h.join(t, Seq("doc_id"))
+      .filter(col("h_qid") =!= col("t_qid"))
+      .groupBy("doc_id", "h_qid", "h_type", "t_qid", "t_type")
+      .agg(
+        min(abs(col("h_sent") - col("t_sent"))).cast("int").as("min_sent_dist"),
+        sum(when(col("h_sent") === col("t_sent"), 1L).otherwise(0L)).as("n_cooc"))
+  }
+
+  /** The mapPartitions inference kernel. Weights are broadcast once;
+    * each partition streams rows through the scorer. */
+  def score(features: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val bw = spark.sparkContext.broadcast(fixtureWeights)
+    val rels = relations
+    features.as[PairFeature].mapPartitions { it =>
+      val w = bw.value // one fetch per partition
+      it.flatMap { p =>
+        val logits = rels.map { r =>
+          val base = w.typePair.getOrElse((p.h_type, p.t_type, r), -2.0)
+          r -> (base + w.wDist * disBucket(p.min_sent_dist) +
+            w.wCooc * math.log1p(p.n_cooc.toDouble))
+        }
+        // adaptive-threshold decode: logit > 0 (TH logit), top MaxLabels
+        logits.filter(_._2 > 0.0)
+          .sortBy { case (r, s) => (-s, r) }
+          .take(MaxLabels)
+          .map { case (r, s) => ScoredTriple(p.doc_id, p.h_qid, r, p.t_qid, s) }
+      }
+    }.toDF()
+  }
+
+  /** Full kernel path: linked mentions → features → scored triples.
+    * Co-occurrence gate (n_cooc >= 1) mirrors the relational path's
+    * same-sentence pair generation. */
+  def extract(linked: DataFrame, spark: SparkSession): DataFrame =
+    score(pairFeatures(linked).filter(col("n_cooc") >= 1), spark)
+}

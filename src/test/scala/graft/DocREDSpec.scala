@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.docred.DocRED
+import graft.pipeline.RelationScorer
+import graft.eval.Evaluator
+
+/** The reference-agreement gate (SURVEY §5, BASELINE.json metric): on
+  * DocRED-shaped fixtures, the kernel's emitted triples must match the
+  * committed expected predictions with P/R ≥ 0.95 (here: exactly 1.0 —
+  * the decode is deterministic given fixed weights). */
+class DocREDSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val fixture = getClass.getResource("/docred_fixture.jsonl").getPath
+  val expectedCsv = getClass.getResource("/docred_expected_triples.csv").getPath
+
+  lazy val docs = DocRED.read(spark, fixture).cache()
+  lazy val eids = DocRED.linkEntities(docs, spark).cache()
+
+  test("pair generation: exactly n·(n−1) ordered pairs per doc") {
+    val got = DocRED.pairs(docs).groupBy("title").agg(count(lit(1)).as("np"))
+    val want = docs.select(col("title"), (size(col("vertexSet")) *
+      (size(col("vertexSet")) - 1)).cast("long").as("want"))
+    assert(got.join(want, "title").filter(col("np") =!= col("want")).count() == 0)
+  }
+
+  test("entity linking: majority vote, link override, prio, tie, NT fallback") {
+    val m = eids.collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(m(("docA", 0)) == "Q1")   // direct alias hit
+    assert(m(("docA", 1)) == "Q4")
+    assert(m(("docB", 0)) == "Q11")  // prio 0 beats prio 1 collision (Q12)
+    assert(m(("docC", 0)) == "Q15")  // link override + dict agree on Q15 over Q16
+    assert(m(("docC", 1)) == "Q18")
+    assert(m(("docC", 2)) == "NT0")  // unlinked → NT fallback
+    assert(m(("docD", 0)) == "Q9")
+    assert(m(("docD", 1)) == "Q5")
+  }
+
+  lazy val kernelTriples = {
+    val feats = DocRED.pairFeatures(docs, eids)
+      .withColumnRenamed("title", "doc_id_str")
+    // kernel expects a long doc key; hash the title deterministically for
+    // the typed row, keep the title alongside for comparison
+    val withId = feats.withColumn("doc_id", xxhash64(col("doc_id_str")))
+    val scored = RelationScorer.score(
+      withId.select("doc_id", "h_qid", "h_type", "t_qid", "t_type", "min_sent_dist", "n_cooc"),
+      spark)
+    scored.join(
+      withId.select(col("doc_id"), col("doc_id_str").as("title")).distinct(),
+      "doc_id")
+      .select("title", "subj", "pred", "obj").distinct().cache()
+  }
+
+  test("kernel predictions match committed expected triples exactly (P=R=1)") {
+    val expected = spark.read.option("header", "true").csv(expectedCsv)
+    val got = kernelTriples
+    val missing = expected.exceptAll(got).collect()
+    val extra = got.exceptAll(expected).collect()
+    assert(missing.isEmpty, s"missing: ${missing.mkString(", ")}")
+    assert(extra.isEmpty, s"extra: ${extra.mkString(", ")}")
+  }
+
+  test("evaluator: micro P/R vs gold labels with known values") {
+    val gold = DocRED.goldTriples(docs, eids)
+      .withColumnRenamed("title", "doc_id")
+      .withColumn("intrain", lit(false))
+    val preds = kernelTriples.withColumnRenamed("title", "doc_id")
+    val (p, r) = Evaluator.precisionRecall(preds, gold)
+    // 4 gold, 5 predicted (docC emits both affiliate directions), all gold hit
+    assert(math.abs(p - 0.8) < 1e-9, s"P=$p")
+    assert(r == 1.0, s"R=$r")
+    val row = Evaluator.score(preds, gold).head
+    assert(row.getAs[Long]("p_permille") == 800)
+    assert(row.getAs[Long]("r_permille") == 1000)
+  }
+
+  test("theta sweep marks a best cut with sane cumulative stats") {
+    val gold = DocRED.goldTriples(docs, eids).withColumnRenamed("title", "doc_id")
+    val feats = DocRED.pairFeatures(docs, eids)
+      .withColumnRenamed("title", "doc_id_str")
+      .withColumn("doc_id", xxhash64(col("doc_id_str")))
+    val scored = RelationScorer.score(
+      feats.select("doc_id", "h_qid", "h_type", "t_qid", "t_type", "min_sent_dist", "n_cooc"),
+      spark)
+      .join(feats.select(col("doc_id"), col("doc_id_str")).distinct(), "doc_id")
+      .drop("doc_id").withColumnRenamed("doc_id_str", "doc_id")
+    val sweep = Evaluator.thetaSweep(scored, gold).cache()
+    assert(sweep.filter(col("is_best")).count() == 1)
+    val best = sweep.filter(col("is_best")).head
+    assert(best.getAs[Long]("cum_correct") >= 4) // recalls all gold at best cut
+  }
+
+  test("distance buckets: exact edges (ladder == bit-twiddle impl)") {
+    for (d <- Seq(0, 1, 2, 3, 4, 7, 8, 15, 16, 31, 32, 63, 64, 127, 128, 255, 256, 1000)) {
+      val fromCol = spark.range(1).select(
+        RelationScorer.disBucketCol(lit(d)).as("b")).head.getInt(0)
+      assert(fromCol == RelationScorer.disBucket(d), s"d=$d")
+    }
+    assert(RelationScorer.disBucket(1) == 1 && RelationScorer.disBucket(3) == 2 &&
+      RelationScorer.disBucket(4) == 3 && RelationScorer.disBucket(255) == 8 &&
+      RelationScorer.disBucket(256) == 9)
+  }
+}
