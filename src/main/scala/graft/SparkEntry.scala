@@ -26,7 +26,7 @@ object SparkEntry {
     * the full pages → triples pipeline. */
   def entry(spark: SparkSession): DataFrame = {
     val pages = Pages.fromDocuments(spark, "/root/testdata/sf0.001")
-    Stages.extractTriples(pages, spark)
+    Stages.extractTriplesFused(pages, spark)
   }
 
   // ---------------------------------------------------------------- queries
@@ -119,8 +119,10 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q_triples" -> ((s, dir) => {
+      // fused single-shuffle path; staged-path equivalence is pinned by
+      // FusedSpec and both share this oracle
       val pages = Pages.fromDocuments(s, dir)
-      Stages.extractTriples(pages, s)
+      Stages.extractTriplesFused(pages, s)
         .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
     }),
 

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object Corpora {
 
-  /** documents.parquet with whitespace-normalized text (extractor contract). */
+  /** documents.parquet with whitespace-normalized text (extractor contract).
+    * Repartitioned at ingest: the sandbox file is one row group = one split. */
   def normDocs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism * 2)
       .select(col("doc_id"),
         trim(regexp_replace(col("text"), "[ \\t\\n\\r]+", " ")).as("text"))
 

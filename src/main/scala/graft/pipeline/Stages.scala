@@ -102,7 +102,58 @@ object Stages {
       .select(col("doc_id"), col("h_qid").as("subj"), col("pred"), col("t_qid").as("obj"))
       .distinct()
 
-  /** End-to-end: pages → triples through the relational path. */
+  /** End-to-end: pages → triples through the staged relational path. */
   def extractTriples(pages: DataFrame, spark: SparkSession): DataFrame =
     triples(pairs(linked(mentions(tokens(pages), spark), spark)), spark)
+
+  // ------------------------------------------------------------ fused path
+
+  /** Scala-side dictionary resolution. The per-doc majority vote is
+    * doc-independent in the web path: every mention of an alias carries the
+    * same candidate set, so the per-(doc, alias) winner is the global
+    * (prio asc, qid asc) winner. Equivalence with the relational vote is
+    * enforced by the shared DuckDB oracle (q_linked) and FusedSpec. */
+  def resolvedAliases: Seq[(String, String, String)] = {
+    val types = Gazetteer.entityTypes.toMap
+    Gazetteer.aliases.groupBy(_._1).toSeq.sortBy(_._1).map { case (a, cands) =>
+      val qid = cands.minBy(c => (c._3, c._2))._2
+      (a, qid, types(qid))
+    }
+  }
+
+  /** Fused pages → triples: all per-document work (tokenize, chunk, link,
+    * pair-gen, rule classify) happens in-row via higher-order functions and
+    * two literal maps baked into the plan — the final global dedup is the
+    * ONLY shuffle. This is the 100 TB shape: shuffle volume is the triple
+    * set, not the token stream.
+    *
+    * Output is identical to `extractTriples` (asserted in FusedSpec and by
+    * sharing q_triples' oracle). */
+  def extractTriplesFused(pages: DataFrame, spark: SparkSession): DataFrame = {
+    val aliasMap = typedLit(resolvedAliases.map(r => r._1 -> (r._2 + "|" + r._3)).toMap)
+    val ruleMap = typedLit(Gazetteer.relRules.map(r => (r._1 + "|" + r._2) -> r._3).toMap)
+    val chunk = Gazetteer.SentenceChunk
+    pages
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(toks) - 1) div $chunk), s -> slice(toks, s * $chunk + 1, $chunk))"
+      )).as("sent"))
+      .withColumn("ents", array_sort(array_distinct(
+        transform(
+          filter(col("sent"), t => element_at(aliasMap, t).isNotNull),
+          t => element_at(aliasMap, t)))))
+      .filter(size(col("ents")) >= 2)
+      .withColumn("pair", explode(
+        flatten(transform(col("ents"), h =>
+          transform(filter(col("ents"), x => x =!= h), t => struct(h.as("h"), t.as("t")))))))
+      .select(
+        col("doc_id"),
+        substring_index(col("pair.h"), "|", 1).as("subj"),
+        element_at(ruleMap,
+          concat(substring_index(col("pair.h"), "|", -1), lit("|"),
+            substring_index(col("pair.t"), "|", -1))).as("pred"),
+        substring_index(col("pair.t"), "|", 1).as("obj"))
+      .filter(col("pred").isNotNull)
+      .distinct()
+  }
 }

@@ -23,9 +23,14 @@ object Pages {
   val wrapUdf = udf((text: String, title: String, lang: String) =>
     Html.wrapHtmlBytes(text, title, lang))
 
-  /** Deterministic pages table derived from `documents.parquet` in sfDir. */
+  /** Deterministic pages table derived from `documents.parquet` in sfDir.
+    * The sandbox table is a single small row group = ONE input split, which
+    * would serialize every per-doc UDF on one task — repartition up front so
+    * parallelism matches the session (at production scale the Iceberg scan
+    * yields thousands of splits and this is a no-op cost). */
   def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism * 2)
     docs
       .withColumn("url", concat(lit("https://example.org/doc/"), col("doc_id")))
       // crawl time: fixed epoch + doc_id hours — deterministic, spreads the

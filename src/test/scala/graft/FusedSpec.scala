@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Stages
+import graft.sources.Pages
+
+/** The fused single-shuffle pipeline must be result-identical to the staged
+  * path, and its physical plan must actually be shuffle-free before the
+  * final dedup. */
+class FusedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("fused path == staged path, row for row") {
+    val pages = Pages.fromDocuments(spark, sfDir).cache()
+    val fused = Stages.extractTriplesFused(pages, spark)
+    val staged = Stages.extractTriples(pages, spark)
+    assert(fused.exceptAll(staged).count() == 0)
+    assert(staged.exceptAll(fused).count() == 0)
+  }
+
+  test("fused plan has exactly one exchange (the final dedup)") {
+    import spark.implicits._
+    // raw in-memory pages: isolates pipeline topology from ingest repartition
+    val pages = Seq((1L, "spark joins customer table")).toDF("doc_id", "text")
+    val plan = Stages.extractTriplesFused(pages, spark)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected only the dedup exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "fused path must not join at all")
+  }
+
+  test("resolved dictionary matches the relational vote winners") {
+    val pages = Pages.fromDocuments(spark, sfDir)
+    val relational = Stages.linked(Stages.mentions(Stages.tokens(pages), spark), spark)
+      .select("alias", "qid").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val resolved = Stages.resolvedAliases.map(r => r._1 -> r._2).toMap
+    for ((a, q) <- relational) assert(resolved(a) == q, s"alias $a")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{TripleExtraction, Canonicalize, Stages}
+import graft.sources.Pages
+import graft.ops.Skew
+import java.nio.file.Files
+
+/** End-to-end runner: lineage, resume-from-checkpoint, canonicalization,
+  * and skew salting. */
+class RunnerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("run writes lineage, resume is a no-op, output matches direct pipeline") {
+    val out = Files.createTempDirectory("graft_run").toString
+    val pages = Pages.fromDocuments(spark, sfDir)
+    val m1 = TripleExtraction.run(pages, out, spark)
+    assert(m1.buckets.size == TripleExtraction.NumBuckets)
+    assert(m1.docs == 500)
+    assert(m1.triples > 0)
+    // resume: everything done → nothing replayed
+    val m2 = TripleExtraction.run(pages, out, spark)
+    assert(m2.buckets.isEmpty && m2.docs == 0)
+    // written triples == canonicalized direct pipeline
+    val written = spark.read.parquet(s"$out/triples")
+      .select("doc_id", "subj", "pred", "obj")
+    val linked = Stages.linked(Stages.mentions(Stages.tokens(pages), spark), spark)
+    val direct = Canonicalize(
+      pipeline.RelationScorer.extract(linked, spark).select("doc_id", "subj", "pred", "obj"),
+      linked, spark)
+    assert(written.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(written).count() == 0)
+  }
+
+  test("partial manifest: only missing buckets are replayed") {
+    val out = Files.createTempDirectory("graft_run2").toString
+    val pages = Pages.fromDocuments(spark, sfDir)
+    // simulate a killed job: mark buckets 0..13 done, 14/15 missing
+    val fake = (0 to 13).map(b => s"""{"bucket":$b,"status":"done","n_triples":0,"wall_ms":0}""")
+    Files.createDirectories(java.nio.file.Paths.get(out))
+    Files.write(java.nio.file.Paths.get(out, "_lineage.jsonl"),
+      (fake.mkString("\n") + "\n").getBytes)
+    val m = TripleExtraction.run(pages, out, spark)
+    assert(m.buckets.sorted == Seq(14, 15))
+    // replayed docs are exactly the pages hashing into those buckets
+    val expect = pages.withColumn("b", TripleExtraction.bucketOf)
+      .filter(col("b").isin(14, 15)).count()
+    assert(m.docs == expect)
+  }
+
+  test("canonicalize merges aliases linked to the same qid, drops self-loops") {
+    import spark.implicits._
+    // two aliases in one doc voted to the same qid + a distinct second entity
+    val linked = Seq(
+      (1L, 0, 0, "spark", "Q1", "TECH"),
+      (1L, 0, 2, "sparkle", "Q1", "TECH"),
+      (1L, 0, 4, "table", "Q8", "ORG"))
+      .toDF("doc_id", "sent_id", "pos", "alias", "qid", "ner_type")
+    val triples = Seq((1L, "Q1", "P_part_of", "Q8"), (1L, "Q1", "P_x", "Q1"))
+      .toDF("doc_id", "subj", "pred", "obj")
+    val got = Canonicalize(triples, linked, spark).collect()
+    assert(got.length == 1) // self-loop dropped
+    assert(got.head.getString(1) == "Q1" && got.head.getString(3) == "Q8")
+  }
+
+  test("salted join is row-equivalent to plain join and spreads hot keys") {
+    import spark.implicits._
+    // Zipfian big side: one hot key with 10k rows, 50 cold keys
+    val big = spark.range(10000).select(lit("hot").as("k"), col("id").as("v"))
+      .union(spark.range(50).select(concat(lit("cold"), col("id")).as("k"), col("id").as("v")))
+    val small = (Seq(("hot", 1)) ++ (0 until 50).map(i => (s"cold$i", i)))
+      .toDF("k", "w")
+    val hot = Skew.hotKeys(big, "k", 1000)
+    assert(hot.count() == 1)
+    val plain = big.join(small, "k").select("k", "v", "w")
+    val salted = Skew.saltedJoin(big, small, "k", hot, 8).select("k", "v", "w")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+}
