@@ -182,6 +182,41 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       ops.TextAnalysis.fingerprint(ops.Corpora.normDocs(s, dir)).orderBy(col("doc_id"))),
 
+    "q_vocab" -> ((s, dir) =>
+      ops.Corpora.normDocs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"), (count(lit(1)) <= 1).as("singleton"))
+        .orderBy(col("tok"))),
+    "q_stats" -> ((s, dir) => {
+      val d = ops.Corpora.normDocs(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+      d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("total_tokens"),
+        max(col("n_toks")).as("max_tokens"),
+        min(col("n_toks")).as("min_tokens"),
+        (sum(col("n_toks").cast("long")) * 1000 / count(lit(1))).cast("long").as("avg_tokens_milli"))
+    }),
+    "q_entity2id" -> ((s, dir) => {
+      val triples = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s)
+      sinks.Dictionaries.entity2id(triples).orderBy(col("id"))
+    }),
+    "q_coded_triples" -> ((s, dir) => {
+      val triples = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s)
+      sinks.Dictionaries.codedTriples(triples)
+        .orderBy(col("doc_id"), col("h_id"), col("r_id"), col("t_id"))
+    }),
+    // non-SQL-expressible (rows-only driver check): WordPiece subword stream
+    "q_wordpiece" -> ((s, dir) => {
+      val d = ops.Corpora.normDocs(s, dir)
+      d.select(col("doc_id"),
+          text.WordPiece.tokenizeUdf(split(col("text"), " ")).as("wp"))
+        .select(col("doc_id"), size(col("wp._1")).as("n_subwords"),
+          size(col("wp._2")).as("n_words"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- deduplication --
     "q_dedup_exact" -> ((s, dir) =>
       ops.Dedup.exact(ops.Corpora.withExactDups(ops.Corpora.normDocs(s, dir)))
@@ -446,6 +481,54 @@ object SparkEntry {
       WITH $normDocsCte
       SELECT doc_id, md5(text) AS md5, substring(md5(text), 1, 16) AS fp64
       FROM norm_docs ORDER BY doc_id""",
+
+    "q_vocab" -> s"""
+      WITH $normDocsCte
+      SELECT tok, COUNT(*) AS n, COUNT(*) <= 1 AS singleton
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM norm_docs)
+      GROUP BY tok ORDER BY tok""",
+    "q_stats" -> s"""
+      WITH $normDocsCte,
+      d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM norm_docs)
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+             CAST(MAX(n_toks) AS INT) AS max_tokens,
+             CAST(MIN(n_toks) AS INT) AS min_tokens,
+             CAST(SUM(n_toks) * 1000 // COUNT(*) AS BIGINT) AS avg_tokens_milli
+      FROM d""",
+    "q_entity2id" -> s"""
+      WITH $kbCtes,
+      trip AS (
+        SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
+        FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type),
+      ents AS (
+        SELECT entity, MIN(doc_id) AS first_doc FROM (
+          SELECT subj AS entity, doc_id FROM trip
+          UNION ALL SELECT obj AS entity, doc_id FROM trip)
+        GROUP BY entity)
+      SELECT entity,
+             CAST(row_number() OVER (ORDER BY first_doc ASC, entity ASC) - 1 AS BIGINT) AS id,
+             first_doc
+      FROM ents ORDER BY id""",
+    "q_coded_triples" -> s"""
+      WITH $kbCtes,
+      trip AS (
+        SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
+        FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type),
+      ents AS (
+        SELECT entity, MIN(doc_id) AS first_doc FROM (
+          SELECT subj AS entity, doc_id FROM trip
+          UNION ALL SELECT obj AS entity, doc_id FROM trip)
+        GROUP BY entity),
+      e2i AS (SELECT entity, CAST(row_number() OVER (ORDER BY first_doc ASC, entity ASC) - 1 AS BIGINT) AS id FROM ents),
+      rels AS (SELECT pred AS relation, MIN(doc_id) AS first_doc FROM trip GROUP BY pred),
+      r2i AS (SELECT relation, CAST(row_number() OVER (ORDER BY first_doc ASC, relation ASC) - 1 AS BIGINT) AS id FROM rels)
+      SELECT t.doc_id, he.id AS h_id, r.id AS r_id, te.id AS t_id
+      FROM trip t
+      JOIN e2i he ON t.subj = he.entity
+      JOIN e2i te ON t.obj = te.entity
+      JOIN r2i r ON t.pred = r.relation
+      ORDER BY 1, 2, 3, 4""",
 
     "q_dedup_exact" -> s"""
       WITH $normDocsCte, $dupCorpusCte

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Streaming results must agree with their batch twins (whose semantics are
+  * pinned by the DuckDB oracles of q6_events_hourly / q7_sessionize). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  // readStream wants a directory; stage the single-file table into one
+  lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("watermarked hourly window agg == batch groupBy on bounded input") {
+    val got = EventStreams.runBounded(spark, dir,
+      EventStreams.hourlyAgg, "hourly_stream", outputMode = "complete")
+      .select("hour", "event_type", "n_events", "value_c")
+    val want = SparkEntry.queries("q6_events_hourly")(spark, "/root/testdata/sf0.001")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) == batch lag/window") {
+    import spark.implicits._
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionize(stream, spark).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("sess_stream").start()
+    q.processAllAvailable(); q.stop()
+    // running totals: final value per user = max
+    val got = spark.table("sess_stream")
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"), max(col("n_sessions")).as("n_sessions"))
+    val want = SparkEntry.queries("q7_sessionize")(spark, "/root/testdata/sf0.001")
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+}
