@@ -128,12 +128,12 @@ object SparkEntry {
 
     // -- KG enrichment / coref / canonicalization / kernel / eval --
     "q_kg_onehop" -> ((s, dir) => {
-      val linked = Stages.linked(Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s), s)
+      val linked = Stages.linkedFast(Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s), s)
       pipeline.Enrich.oneHop(linked, s)
         .orderBy(col("doc_id"), col("h"), col("r"), col("t"))
     }),
     "q_kg_attrs" -> ((s, dir) => {
-      val linked = Stages.linked(Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s), s)
+      val linked = Stages.linkedFast(Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s), s)
       pipeline.Enrich.attributes(linked, s).orderBy(col("qid"))
     }),
     "q_coref_top8" -> ((s, dir) => {
@@ -148,25 +148,28 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
     "q_components" -> ((s, dir) => {
-      val linked = Stages.linked(Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s), s)
+      // per-doc graphs are tiny → exact CC via partition-local union-find
+      // (one shuffle); the iterative labelPropagation variant covers graphs
+      // too big for one task and is pinned equal in ComponentsSpec
+      val linked = Stages.linkedFast(Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s), s)
       val prs = Stages.pairs(linked).filter(col("h_qid") < col("t_qid"))
-      val verts = linked.select(col("doc_id").as("scope"), col("qid").as("v")).distinct()
-      val edges = prs.select(col("doc_id").as("scope"),
+      val verts = linked.select(col("doc_id").cast("string").as("scope"), col("qid").as("v")).distinct()
+      val edges = prs.select(col("doc_id").cast("string").as("scope"),
         col("h_qid").as("src"), col("t_qid").as("dst")).distinct()
-      ops.ConnectedComponents.labelPropagation(verts, edges)
-        .select(col("scope").as("doc_id"), col("v").as("qid"), col("comp"))
+      ops.ConnectedComponents.perScopeLocal(verts, edges, s)
+        .select(col("scope").cast("long").as("doc_id"), col("v").as("qid"), col("comp"))
         .orderBy(col("doc_id"), col("qid"))
     }),
     "q_scored_triples" -> ((s, dir) => {
       // the mapPartitions scoring kernel; with fixture weights its decode is
       // provably identical to the rule path, so it shares q_triples' oracle
-      val linked = Stages.linked(Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s), s)
+      val linked = Stages.linkedFast(Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s), s)
       pipeline.RelationScorer.extract(linked, s)
         .select("doc_id", "subj", "pred", "obj").distinct()
         .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
     }),
     "q_eval" -> ((s, dir) => {
-      val triples = Stages.extractTriples(Pages.fromDocuments(s, dir), s).cache()
+      val triples = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s).cache()
       val gold = triples.filter(col("doc_id") % 7 =!= 0)
         .withColumn("intrain", col("doc_id") % 3 === 0)
       eval.Evaluator.score(triples, gold)
@@ -199,11 +202,14 @@ object SparkEntry {
         (sum(col("n_toks").cast("long")) * 1000 / count(lit(1))).cast("long").as("avg_tokens_milli"))
     }),
     "q_entity2id" -> ((s, dir) => {
-      val triples = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s)
+      val triples = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s).cache()
       sinks.Dictionaries.entity2id(triples).orderBy(col("id"))
     }),
     "q_coded_triples" -> ((s, dir) => {
-      val triples = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s)
+      // cache: codedTriples walks the triple set three times (two id
+      // dictionaries + the coding join) — without it the whole extraction
+      // lineage would re-execute per walk
+      val triples = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s).cache()
       sinks.Dictionaries.codedTriples(triples)
         .orderBy(col("doc_id"), col("h_id"), col("r_id"), col("t_id"))
     }),

@@ -30,13 +30,20 @@ object Evaluator {
     val g = gold.select((keyCols :+ coalesce(col("intrain"), lit(false)).as("intrain")): _*)
       .groupBy("doc_id", "subj", "pred", "obj")
       .agg(max(col("intrain")).as("intrain"))
-    val joined = p.join(g, Seq("doc_id", "subj", "pred", "obj"), "left")
-      .withColumn("correct", col("intrain").isNotNull)
-    val nPred = joined.count()
-    val nCorrect = joined.filter(col("correct")).count()
-    val nCorrectIgn = joined.filter(col("correct") && !col("intrain")).count()
-    val nGold = g.count()
-    val nGoldIgn = g.filter(!col("intrain")).count()
+    // single-pass conditional aggregation on each side (2 jobs, not 5)
+    val pr = p.join(g, Seq("doc_id", "subj", "pred", "obj"), "left")
+      .agg(
+        count(lit(1)).as("np"),
+        count(col("intrain")).as("nc"),
+        coalesce(sum(when(col("intrain") === false, 1L).otherwise(0L)), lit(0L)).as("nci"))
+      .head
+    val gr = g.agg(count(lit(1)).as("ng"),
+      coalesce(sum(when(!col("intrain"), 1L).otherwise(0L)), lit(0L)).as("ngi")).head
+    val nPred = pr.getLong(0)
+    val nCorrect = pr.getLong(1)
+    val nCorrectIgn = pr.getLong(2)
+    val nGold = gr.getLong(0)
+    val nGoldIgn = gr.getLong(1)
     val spark = preds.sparkSession
     import spark.implicits._
     val precision = if (nPred == 0) 0L else nCorrect * 1000 / nPred
@@ -89,5 +96,40 @@ object Evaluator {
       .withColumn("p_permille", col("cum_correct") * 1000 / col("i"))
       .withColumn("r_permille", col("cum_correct") * 1000 / lit(math.max(nGold, 1L)))
       .select("i", "score", "correct", "cum_correct", "p_permille", "r_permille", "is_best")
+  }
+
+  /** M4: area under the PR curve by trapezoid rule over the sweep —
+    * sklearn.metrics.auc equivalent (`GLRE+KIRE/nnet/trainer.py:644,668`).
+    * Driver-side fold over the (small) sweep table, exact order. */
+  def prAuc(sweep: DataFrame): Double = {
+    val pts = sweep.orderBy(col("i").asc)
+      .select(
+        (col("cum_correct").cast("double") / col("i")).as("p"),
+        (col("r_permille").cast("double") / 1000.0).as("r"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(0)))
+    if (pts.length < 2) return 0.0
+    pts.sliding(2).map { case Array((r1, p1), (r2, p2)) =>
+      (r2 - r1) * (p1 + p2) / 2.0
+    }.sum
+  }
+
+  /** SO2: evidence-set scoring — predictions carry an `evidence` array;
+    * correctness of evidence = |pred ∩ gold| via array_intersect
+    * (`ATLOP+KIRE/evaluation.py:143-146`). Returns per-prediction overlap
+    * counts plus micro evidence P/R in permille. */
+  def evidenceScore(preds: DataFrame, gold: DataFrame): DataFrame = {
+    val joined = preds
+      .join(gold.select(col("doc_id"), col("subj"), col("pred"), col("obj"),
+        col("evidence").as("gold_evidence")),
+        Seq("doc_id", "subj", "pred", "obj"), "inner")
+      .withColumn("overlap", size(array_intersect(col("evidence"), col("gold_evidence"))))
+    joined.agg(
+      sum(col("overlap").cast("long")).as("n_overlap"),
+      sum(size(col("evidence")).cast("long")).as("n_pred_evi"),
+      sum(size(col("gold_evidence")).cast("long")).as("n_gold_evi"))
+      .select(
+        col("n_overlap"), col("n_pred_evi"), col("n_gold_evi"),
+        (col("n_overlap") * 1000 / greatest(col("n_pred_evi"), lit(1L))).cast("long").as("evi_p_permille"),
+        (col("n_overlap") * 1000 / greatest(col("n_gold_evi"), lit(1L))).cast("long").as("evi_r_permille"))
   }
 }

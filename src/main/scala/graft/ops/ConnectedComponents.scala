@@ -49,6 +49,27 @@ object ConnectedComponents {
     labels
   }
 
+  /** Exact CC per scope via partition-local union-find inside mapGroups —
+    * ONE shuffle total (the groupBy), no iteration. The right shape when
+    * each scope's graph is bounded (per-document graphs are ≤ max-entity
+    * sized); use `labelPropagation` only for graphs too large for one task. */
+  def perScopeLocal(vertices: DataFrame, edges: DataFrame,
+                    spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val vs = vertices.select(col("scope"), col("v"), lit(true).as("isV"))
+    val es = edges.select(col("scope"), col("src"), col("dst"))
+    val tagged = vs.select(col("scope"), col("v").as("a"), col("v").as("b"), col("isV"))
+      .union(es.select(col("scope"), col("src").as("a"), col("dst").as("b"), lit(false).as("isV")))
+      .as[(String, String, String, Boolean)]
+    tagged.groupByKey(_._1).flatMapGroups { (scope, it) =>
+      val rows = it.toSeq
+      val verts = rows.filter(_._4).map(_._2).distinct
+      val edgeList = rows.filterNot(_._4).map(r => (r._2, r._3))
+      unionFindLocal(verts, edgeList).toSeq.map { case (v, c) => (scope, v, c) }
+    }.toDF("scope", "v", "comp")
+  }
+
   /** Partition-local union-find (path compression + union by attachment to
     * smaller root id — the min-id root IS the canonical label). */
   def unionFindLocal[T](vertices: Seq[T], edges: Seq[(T, T)])(implicit ord: Ordering[T]): Map[T, T] = {

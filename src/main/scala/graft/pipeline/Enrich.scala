@@ -30,9 +30,14 @@ object Enrich {
   }
 
   /** Per-document one-hop KG subgraph: (doc_id, h, r, t) where h or t is a
-    * linked entity of the doc. */
-  def oneHop(linked: DataFrame, spark: SparkSession): DataFrame = {
-    val docEnts = linked.select(col("doc_id"), col("qid")).distinct()
+    * linked entity of the doc. `excludeTypes` implements the P6 TIME-entity
+    * filter (`ATLOP+KIRE/data/gen_kg_data.py:557`: TIME vertices are
+    * excluded from the one-hop query). */
+  def oneHop(linked: DataFrame, spark: SparkSession,
+             excludeTypes: Set[String] = Set("TIME")): DataFrame = {
+    val docEnts = linked
+      .filter(!col("ner_type").isin(excludeTypes.toSeq: _*))
+      .select(col("doc_id"), col("qid")).distinct()
     val kg = broadcast(kgTriples(spark))
     val byHead = docEnts.join(kg, docEnts("qid") === kg("h"))
       .select(col("doc_id"), col("h"), col("r"), col("t"))

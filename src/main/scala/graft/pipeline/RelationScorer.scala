@@ -74,16 +74,31 @@ object RelationScorer {
     * and co-occurring-sentence count. Grouped per doc — one shuffle on
     * (doc_id, h_qid, t_qid), map-side combinable. */
   def pairFeatures(linked: DataFrame): DataFrame = {
-    val h = linked.select(col("doc_id"), col("sent_id").as("h_sent"),
-      col("qid").as("h_qid"), col("ner_type").as("h_type"))
-    val t = linked.select(col("doc_id"), col("sent_id").as("t_sent"),
-      col("qid").as("t_qid"), col("ner_type").as("t_type"))
-    h.join(t, Seq("doc_id"))
-      .filter(col("h_qid") =!= col("t_qid"))
-      .groupBy("doc_id", "h_qid", "h_type", "t_qid", "t_type")
-      .agg(
-        min(abs(col("h_sent") - col("t_sent"))).cast("int").as("min_sent_dist"),
-        sum(when(col("h_sent") === col("t_sent"), 1L).otherwise(0L)).as("n_cooc"))
+    // aggregate to entity level FIRST (doc × qid × sent-list), then join:
+    // the per-doc join is |entities|² rows, not |mentions|² (~100× smaller),
+    // with the mention cross-product folded into array HOFs in-row
+    // second groupBy folds the doc's entities into ONE row, so pair
+    // formation is an in-row double explode — no self-join, the upstream
+    // lineage (extraction UDFs, linking) executes exactly once
+    val docEnts = linked.groupBy(col("doc_id"), col("qid"), col("ner_type"))
+      .agg(collect_list(col("sent_id")).as("sents"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("qid"), col("ner_type"), col("sents"))).as("ents"))
+    docEnts
+      .select(col("doc_id"), explode(col("ents")).as("h"), col("ents"))
+      .select(col("doc_id"), col("h"), explode(col("ents")).as("t"))
+      .filter(col("h.qid") =!= col("t.qid"))
+      .select(col("doc_id"),
+        col("h.qid").as("h_qid"), col("h.ner_type").as("h_type"),
+        col("h.sents").as("h_sents"),
+        col("t.qid").as("t_qid"), col("t.ner_type").as("t_type"),
+        col("t.sents").as("t_sents"))
+      .withColumn("min_sent_dist", expr(
+        "aggregate(h_sents, 2147483647, (acc, a) -> least(acc, " +
+          "aggregate(t_sents, 2147483647, (acc2, b) -> least(acc2, abs(a - b)))))").cast("int"))
+      .withColumn("n_cooc", expr(
+        "aggregate(h_sents, 0L, (acc, a) -> acc + size(filter(t_sents, b -> b = a)))").cast("long"))
+      .select("doc_id", "h_qid", "h_type", "t_qid", "t_type", "min_sent_dist", "n_cooc")
   }
 
   /** The mapPartitions inference kernel. Weights are broadcast once;
@@ -111,7 +126,18 @@ object RelationScorer {
 
   /** Full kernel path: linked mentions → features → scored triples.
     * Co-occurrence gate (n_cooc >= 1) mirrors the relational path's
-    * same-sentence pair generation. */
-  def extract(linked: DataFrame, spark: SparkSession): DataFrame =
-    score(pairFeatures(linked).filter(col("n_cooc") >= 1), spark)
+    * same-sentence pair generation. `lengthSorted` applies W6
+    * (`B4+KIRE/config/Config.py:287-288`): order work within each partition
+    * by descending feature weight so a batching kernel pads minimally —
+    * a partition-local sort, no shuffle, results unchanged. */
+  def extract(linked: DataFrame, spark: SparkSession,
+              lengthSorted: Boolean = false): DataFrame = {
+    val feats = pairFeatures(linked).filter(col("n_cooc") >= 1)
+    val ordered = if (lengthSorted) feats.sortWithinPartitions(col("n_cooc").desc) else feats
+    score(ordered, spark)
+  }
+
+  /** M2: sigmoid on raw scores (`ATLOP+KIRE/data/gen_coref_data.py:30-31`). */
+  def sigmoid(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lit(1.0) / (lit(1.0) + exp(-c))
 }

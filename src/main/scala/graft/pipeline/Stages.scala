@@ -76,6 +76,21 @@ object Stages {
       .select("doc_id", "sent_id", "pos", "alias", "qid", "ner_type")
   }
 
+  /** Fast-path entity linking: the per-doc vote is doc-independent (every
+    * mention of an alias carries the same candidate set — see
+    * resolvedAliases), so linking is ONE broadcast hash join against the
+    * pre-resolved dictionary. Result-identical to `linked` (FusedSpec pins
+    * it); `linked` keeps the reference-shaped relational vote for
+    * inspection and the q_linked oracle. Use THIS in production plans —
+    * the vote variant embeds the mention lineage twice (join back onto its
+    * own derivation), which doubles upstream UDF work. */
+  def linkedFast(mentions: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dict = broadcast(resolvedAliases.toDF("alias", "qid", "ner_type"))
+    mentions.join(dict, Seq("alias"))
+      .select("doc_id", "sent_id", "pos", "alias", "qid", "ner_type")
+  }
+
   /** Per-sentence entity set then ordered-pair generation (J4,
     * `ATLOP+KIRE/prepro.py:137-143`: all ordered (h,t), h≠t). The pair
     * cross-product is generated from collected per-sentence arrays — stays

@@ -40,4 +40,13 @@ class FusedSpec extends AnyFunSuite {
     val resolved = Stages.resolvedAliases.map(r => r._1 -> r._2).toMap
     for ((a, q) <- relational) assert(resolved(a) == q, s"alias $a")
   }
+
+  test("linkedFast is row-identical to the relational vote path") {
+    val pages = Pages.fromDocuments(spark, sfDir).cache()
+    val m = Stages.mentions(Stages.tokens(pages), spark)
+    val slow = Stages.linked(m, spark)
+    val fast = Stages.linkedFast(m, spark)
+    assert(fast.exceptAll(slow).count() == 0)
+    assert(slow.exceptAll(fast).count() == 0)
+  }
 }
