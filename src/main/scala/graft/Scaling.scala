@@ -66,19 +66,27 @@ object Scaling {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,32")
       .split(",").map(_.trim.toInt).toSeq
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val results = levels.map { cpus =>
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "2").toInt
+    // interleave full level sweeps and keep the best run per level: a
+    // transient host-load spike (this box is multi-tenant) then penalizes
+    // at most one sweep instead of silently skewing one level
+    val best = scala.collection.mutable.Map[Int, (Long, Long, Double)]()
+    for (_ <- 1 to rounds; cpus <- levels) {
       val spark = session(cpus)
       runOnce(spark, sfDir) // warm-up (JIT + codegen caches)
-      // best-of-N to shed scheduler/GC noise
       val runs = (1 to reps).map(_ => runOnce(spark, sfDir))
-      val (docs, triples, secs) = runs.minBy(_._3)
-      val dps = docs / secs
-      val tps = triples / secs
-      println(f"""{"cpus":$cpus,"docs":$docs,"triples":$triples,"secs":$secs%.2f,"docs_per_sec":$dps%.0f,"triples_per_sec":$tps%.0f}""")
+      val r = runs.minBy(_._3)
+      if (!best.contains(cpus) || r._3 < best(cpus)._3) best(cpus) = r
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
+    }
+    val results = levels.map { cpus =>
+      val (docs, triples, secs) = best(cpus)
+      val dps = docs / secs
+      val tps = triples / secs
+      println(f"""{"cpus":$cpus,"docs":$docs,"triples":$triples,"secs":$secs%.2f,"docs_per_sec":$dps%.0f,"triples_per_sec":$tps%.0f}""")
       cpus -> dps
     }
     for (Seq((c1, d1), (c2, d2)) <- results.sliding(2)) {

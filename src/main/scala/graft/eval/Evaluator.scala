@@ -70,19 +70,27 @@ object Evaluator {
 
   /** PR-curve theta sweep over scored predictions (score column): for every
     * threshold position, cumulative precision/recall; returns the sweep
-    * table with an `is_best` marker at the F1-argmax (W2 semantics).
-    * Comparisons use integer cross-products: F1_i > F1_j ⟺
-    * c_i·(j + G) > c_j·(i + G) after clearing denominators. */
+    * table with an `is_best` marker at the F1-argmax (W2 semantics) and the
+    * W3 "Ign" cumulative (train-leaked corrects excluded) when gold carries
+    * an `intrain` flag. */
   def thetaSweep(scored: DataFrame, gold: DataFrame): DataFrame = {
-    val g = gold.select(keyCols: _*).distinct()
+    val hasIntrain = gold.columns.contains("intrain")
+    val g0 = if (hasIntrain)
+      gold.select((keyCols :+ coalesce(col("intrain"), lit(false)).as("intrain")): _*)
+    else gold.select(keyCols: _*).withColumn("intrain", lit(false))
+    val g = g0.groupBy("doc_id", "subj", "pred", "obj").agg(max(col("intrain")).as("intrain"))
     val nGold = g.count()
     val w = Window.orderBy(col("score").desc,
       col("doc_id").asc, col("subj").asc, col("pred").asc, col("obj").asc)
     val marked = scored
       .join(g.withColumn("correct", lit(1L)), Seq("doc_id", "subj", "pred", "obj"), "left")
       .withColumn("correct", coalesce(col("correct"), lit(0L)))
+      .withColumn("correct_ign",
+        when(col("correct") === 1L && !col("intrain"), 1L).otherwise(0L))
       .withColumn("i", row_number().over(w).cast("long"))
       .withColumn("cum_correct", sum(col("correct")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_correct_ign", sum(col("correct_ign")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // F1 at cut i: 2c/(i+G); argmax by the ratio (per-row scalar division,
     // deterministic), ties broken by the earliest cut.
@@ -95,7 +103,8 @@ object Evaluator {
       .withColumn("is_best", col("i") === col("bi"))
       .withColumn("p_permille", col("cum_correct") * 1000 / col("i"))
       .withColumn("r_permille", col("cum_correct") * 1000 / lit(math.max(nGold, 1L)))
-      .select("i", "score", "correct", "cum_correct", "p_permille", "r_permille", "is_best")
+      .select("i", "score", "correct", "cum_correct", "cum_correct_ign",
+        "p_permille", "r_permille", "is_best")
   }
 
   /** M4: area under the PR curve by trapezoid rule over the sweep —
