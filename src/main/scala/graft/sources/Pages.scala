@@ -38,8 +38,10 @@ object Pages {
       .withColumn("warc_ts",
         expr("timestampadd(HOUR, cast(doc_id as int), timestamp'2026-01-01 00:00:00')"))
       .withColumn("html", wrapUdf(col("text"), col("url"), col("lang")))
-      // the invariant: text column == extractor output over html
-      .withColumn("text", extractUdf(col("html")))
+      // the invariant: text column == extractor output over html.
+      // Native Catalyst expression (codegen'd), not the ScalaUDF — same
+      // semantics, pinned equal in ExpressionSpec.
+      .withColumn("text", graft.functions.ExtractHtmlText(col("html")))
       .select("url", "warc_ts", "html", "text", "lang", "doc_id")
   }
 }

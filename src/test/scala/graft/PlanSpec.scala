@@ -31,13 +31,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
   }
 
-  test("text-analysis pipeline is a pure projection chain — no UDFs, no extra shuffles") {
-    val plan = ops.TextAnalysis.quality(ops.Corpora.normDocs(spark, sfDir))
+  test("text-analysis pipeline is a pure projection chain — no UDFs, no shuffles") {
+    import spark.implicits._
+    // hermetic in-memory input: other suites cache the parquet corpus, which
+    // would swap the scan for an InMemoryTableScan and pollute the count
+    val docs = Seq((1L, "the a quick test doc")).toDF("doc_id", "text")
+    val plan = ops.TextAnalysis.quality(docs)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
       "text analysis must stay UDF-free (native expressions only)")
-    // only the ingest repartition exchange; all analysis is map-side
-    assert("Exchange".r.findAllIn(plan).length == 1, s"unexpected shuffle:\n$plan")
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"),
       s"quality scoring must be per-row projection only:\n$plan")
   }
