@@ -34,7 +34,10 @@ object DocRED {
       StructField("pos", ArrayType(IntegerType)),
       StructField("sent_id", IntegerType),
       StructField("type", StringType),
-      StructField("link", StringType)))))),
+      StructField("link", StringType),
+      // DWIE variant: global token offsets precomputed by the corpus
+      // (GLRE+KIRE/data_processing/dwieProcess.py:64-70)
+      StructField("absolute_pos", ArrayType(IntegerType))))))),
     StructField("labels", ArrayType(StructType(Seq(
       StructField("h", IntegerType),
       StructField("t", IntegerType),
@@ -54,7 +57,8 @@ object DocRED {
         col("m.name").as("name"), col("m.sent_id").as("sent_id"),
         element_at(col("m.pos"), 1).as("pos_start"),
         element_at(col("m.pos"), 2).as("pos_end"),
-        col("m.type").as("ner_type"), col("m.link").as("link"))
+        col("m.type").as("ner_type"), col("m.link").as("link"),
+        element_at(col("m.absolute_pos"), 1).as("abs_pos_start"))
 
   /** Ordered pair table: one row per (h,t), h≠t — exactly n·(n−1) rows per
     * doc (asserted in tests, mirroring prepro.py:157). */

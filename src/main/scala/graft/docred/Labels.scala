@@ -63,12 +63,16 @@ object Labels {
         .as("ls"))
 
   /** P4 + P5: truncate each doc's flat token stream to maxLen and drop
-    * mentions whose span starts beyond it. Returns the kept-mention table. */
+    * mentions whose span starts beyond it. DWIE-shaped corpora carry
+    * precomputed absolute offsets — honored when present, else derived from
+    * the Ls prefix sums. Returns the kept-mention table. */
   def truncateMentions(docs: DataFrame, maxLen: Int): DataFrame = {
     val offsets = sentOffsets(docs)
     DocRED.mentions(docs)
       .join(offsets, "title")
-      .withColumn("abs_start", element_at(col("ls"), col("sent_id") + 1) + col("pos_start"))
+      .withColumn("abs_start",
+        coalesce(col("abs_pos_start"),
+          element_at(col("ls"), col("sent_id") + 1) + col("pos_start")))
       .filter(col("abs_start") < maxLen) // P5 guard
       .drop("ls")
   }

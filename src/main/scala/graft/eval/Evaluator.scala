@@ -122,6 +122,39 @@ object Evaluator {
     }.sum
   }
 
+  /** A12: per-relation confusion counts (TP/FP/FN; TN is degenerate at
+    * triple granularity) — `GLRE+KIRE/models/basemodel.py:125-146` bincount
+    * masks re-expressed as one conditional aggregation. */
+  def perRelationConfusion(preds: DataFrame, gold: DataFrame): DataFrame = {
+    val p = preds.select(keyCols: _*).distinct().withColumn("in_pred", lit(true))
+    val g = gold.select(keyCols: _*).distinct().withColumn("in_gold", lit(true))
+    p.join(g, Seq("doc_id", "subj", "pred", "obj"), "full_outer")
+      .groupBy(col("pred").as("relation"))
+      .agg(
+        sum(when(col("in_pred") && col("in_gold"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("in_pred") && col("in_gold").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("in_pred").isNull && col("in_gold"), 1L).otherwise(0L)).as("fn"))
+  }
+
+  /** A13: recall bucketed by pair sentence distance
+    * (`GLRE+KIRE/data/dataset.py:96-111` prune-distance breakdown):
+    * gold triples joined to pair features, recall per dis2idx bucket. */
+  def recallByDistanceBucket(preds: DataFrame, gold: DataFrame,
+                             pairDist: DataFrame): DataFrame = {
+    val p = preds.select(keyCols: _*).distinct().withColumn("hit", lit(true))
+    gold.select(keyCols: _*).distinct()
+      .join(pairDist.select(col("doc_id"), col("h_qid").as("subj"),
+        col("t_qid").as("obj"), col("min_sent_dist")), Seq("doc_id", "subj", "obj"), "left")
+      .withColumn("bucket",
+        graft.pipeline.RelationScorer.disBucketCol(coalesce(col("min_sent_dist"), lit(0))))
+      .join(p, Seq("doc_id", "subj", "pred", "obj"), "left")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_gold"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"),
+        (sum(when(col("hit"), 1L).otherwise(0L)) * 1000 / count(lit(1))).cast("long")
+          .as("recall_permille"))
+  }
+
   /** SO2: evidence-set scoring — predictions carry an `evidence` array;
     * correctness of evidence = |pred ∩ gold| via array_intersect
     * (`ATLOP+KIRE/evaluation.py:143-146`). Returns per-prediction overlap

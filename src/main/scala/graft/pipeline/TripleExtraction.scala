@@ -39,9 +39,12 @@ object TripleExtraction {
       .toSet
   }
 
-  /** Run (or resume) the extraction job. Returns metrics for the buckets
-    * processed in THIS invocation (empty if everything was already done). */
-  def run(pages: DataFrame, outDir: String, spark: SparkSession): RunMetrics = {
+  /** Run (or resume) the extraction job. `lang` applies the P10 language
+    * predicate (input_hint lang column) — partition-prunable at the Iceberg
+    * scan in production. Returns metrics for the buckets processed in THIS
+    * invocation (empty if everything was already done). */
+  def run(pages: DataFrame, outDir: String, spark: SparkSession,
+          lang: Option[String] = None): RunMetrics = {
     Files.createDirectories(Paths.get(outDir))
     val done = doneBuckets(outDir)
     val pending = (0 until NumBuckets).filterNot(done)
@@ -49,7 +52,7 @@ object TripleExtraction {
 
     val t0 = System.currentTimeMillis()
     val docsAcc = spark.sparkContext.longAccumulator("graft.docs")
-    val work = pages
+    val work = lang.foldLeft(pages)((df, l) => df.filter(col("lang") === l))
       .withColumn("bucket", bucketOf)
       .filter(col("bucket").isin(pending: _*))
       // accumulator tap: counts documents actually read this run

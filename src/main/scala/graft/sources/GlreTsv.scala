@@ -24,6 +24,18 @@ object GlreTsv {
 
   val ChunkFields = 18
 
+  /** P2 — drop pair rows flagged by the hypernym filter
+    * (`GLRE+KIRE/data/reader.py:128-130`; flag written by
+    * `filter_hypernyms.py:93-98`). */
+  def dropNotInclude(docs: DataFrame): DataFrame =
+    docs.withColumn("pairs",
+      filter(col("pairs"), p => p.getField("rel") =!= "not_include"))
+
+  /** P3 — drop documents left with no relation pairs
+    * (`GLRE+KIRE/data/reader.py:149-159`). */
+  def dropEmptyDocs(docs: DataFrame): DataFrame =
+    docs.filter(size(col("pairs")) > 0)
+
   /** Encode: one row per document with a `pairs` array-of-struct column →
     * Dataset[String] of .data lines. */
   def write(docs: DataFrame, spark: SparkSession): DataFrame = {

@@ -19,6 +19,12 @@ object Normalize {
     * space/newline/tab inside a token → '_'. */
   def tokenSpaceFix(tok: Column): Column = translate(tok, " \n\t", "___")
 
+  /** T3 — entity-name cleanup (`GLRE+KIRE/data_processing/docRedProcess.py:48-52`,
+    * `dwieProcess.py:54-58`): strip newlines/tabs and the '||' TSV
+    * delimiter from surface names, collapse the residue. */
+  def cleanupName(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "\\|\\|", " "), "[\\n\\t]+", " "))
+
   /** T4 — unicode punctuation normalization
     * (`GLRE+KIRE/data_processing/utils.py:53-67`): curly quotes, dashes,
     * NBSP → ASCII equivalents. */

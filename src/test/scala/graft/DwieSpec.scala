@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.docred.{DocRED, Labels}
+import graft.pipeline.RelationScorer
+import graft.functions.GraftExtensions
+
+/** DWIE-shaped corpus variant: precomputed absolute_pos offsets honored,
+  * same pipeline otherwise; plus the SQL function registration path. */
+class DwieSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val docs = DocRED.read(spark,
+    getClass.getResource("/dwie_fixture.jsonl").getPath).cache()
+
+  test("absolute_pos is read and drives truncation directly") {
+    val m = DocRED.mentions(docs).orderBy("vertex_id", "mention_idx").collect()
+    assert(m.map(_.getAs[Int]("abs_pos_start")).toSeq == Seq(0, 8, 5))
+    // truncate at 6: keeps abs 0 and 5, drops the spark mention at abs 8
+    assert(Labels.truncateMentions(docs, 6).count() == 2)
+    // consistency: absolute_pos agrees with Ls-derived offsets
+    val ls = Labels.sentOffsets(docs).head.getSeq[Int](1)
+    assert(ls == Seq(0, 4, 10))
+  }
+
+  test("DWIE doc flows through linking + kernel like DocRED") {
+    val eids = DocRED.linkEntities(docs, spark)
+    val feats = DocRED.pairFeatures(docs, eids)
+      .withColumn("doc_id", xxhash64(col("title")))
+      .select("doc_id", "h_qid", "h_type", "t_qid", "t_type", "min_sent_dist", "n_cooc")
+    val triples = RelationScorer.score(feats, spark)
+      .select("subj", "pred", "obj").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(triples == Set(("Q1", "P_part_of", "Q8")))
+  }
+
+  test("extract_html_text is SQL-callable after extension registration") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val html = graft.extract.Html.wrapHtml("spark joins table", "u", "en")
+    Seq(html).toDF("h").createOrReplaceTempView("pages_sql")
+    val got = spark.sql(
+      "SELECT extract_html_text(CAST(h AS BINARY)) AS t FROM pages_sql")
+      .head.getString(0)
+    assert(got == "spark joins table")
+  }
+}
