@@ -245,6 +245,21 @@ object SparkEntry {
       ops.Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), 3, 20)
         .orderBy(col("query_id"), col("rank"))),
 
+    "q_embed_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup over planted duplicates; exact integer
+      // threshold test: dot > 0 ∧ dot²·10⁶ ≥ 990²·|a|²·|b|²
+      val corpus = ops.Corpora.withEmbeddingDups(s.read.parquet(s"$dir/embeddings.parquet"))
+      val q = ops.Similarity.quantized(corpus)
+      val a = q.select(col("vec_id").as("doc_a"), col("q").as("qa"), col("norm2").as("na"))
+      val b = q.select(col("vec_id").as("doc_b"), col("q").as("qb"), col("norm2").as("nb"))
+      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+        .withColumn("dot", ops.Similarity.dotQ(col("qa"), col("qb")))
+        .filter(col("dot") > 0 &&
+          col("dot") * col("dot") * 1000000L >= lit(980100L) * col("na") * col("nb"))
+        .select("doc_a", "doc_b", "dot")
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // -- multimodal plumbing --
     "q_multimodal" -> ((s, dir) =>
       ops.Multimodal.decodeMeta(ops.Corpora.normDocs(s, dir), s).toDF()
@@ -604,6 +619,30 @@ object SparkEntry {
         JOIN qn2 nb ON d.neighbor_id = nb.vec_id)
       SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "q_embed_neardup" -> """
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(embedding, (x, i) -> CAST(CASE WHEN i = 1 THEN x + 0.001 ELSE x END AS FLOAT))
+        FROM embeddings WHERE vec_id < 10),
+      qn AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+        FROM corpus),
+      qn2 AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2 FROM qn),
+      dots AS (
+        SELECT a_id AS doc_a, b_id AS doc_b, CAST(SUM(av * bv) AS BIGINT) AS dot FROM (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id, unnest(a.q) AS av, unnest(b.q) AS bv
+          FROM qn2 a, qn2 b WHERE a.vec_id < b.vec_id)
+        GROUP BY 1, 2)
+      SELECT d.doc_a, d.doc_b, d.dot
+      FROM dots d
+      JOIN qn2 na ON d.doc_a = na.vec_id
+      JOIN qn2 nb ON d.doc_b = nb.vec_id
+      WHERE d.dot > 0 AND d.dot * d.dot * 1000000 >= 980100 * na.norm2 * nb.norm2
+      ORDER BY 1, 2""",
 
     "q_multimodal" -> s"""
       WITH $normDocsCte

@@ -24,6 +24,17 @@ object Corpora {
       docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
 
+  /** embeddings table + near-copies of vec_id 0..9: the same vector with a
+    * tiny deterministic perturbation on the first component, under
+    * vec_id + 100000 — planted positives for embedding-cosine dedup. */
+  def withEmbeddingDups(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"))
+      .union(
+        embeddings.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            expr("transform(embedding, (x, i) -> CAST(CASE WHEN i = 0 THEN x + 0.001 ELSE x END AS FLOAT))")
+              .as("embedding")))
+
   /** + near copies (first 3 tokens dropped) of docs 0..19. */
   def withNearDups(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")

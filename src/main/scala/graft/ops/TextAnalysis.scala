@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -66,4 +66,43 @@ object TextAnalysis {
       col("doc_id"),
       md5(col("text").cast("binary")).as("md5"),
       substring(md5(col("text").cast("binary")), 1, 16).as("fp64"))
+
+  /** Winnowing fingerprint (rolling hash): k-gram polynomial rolling hash
+    * over the character stream, then the minimum hash of every window of w
+    * consecutive k-grams (classic winnowing). Guarantees: any shared
+    * substring of length ≥ w + k − 1 yields a shared fingerprint. Pure
+    * Scala kernel (the rolling recurrence is inherently sequential per doc,
+    * perfectly parallel across docs). */
+  def winnow(text: String, k: Int = 8, w: Int = 6): Seq[Long] = {
+    val s = text
+    if (s.length < k) return Seq.empty
+    // modulus sized so h*B and char*pow never overflow a Long
+    val B = 131L
+    val M = 1000000007L
+    var pow = 1L
+    for (_ <- 1 until k) pow = pow * B % M
+    val hashes = new Array[Long](s.length - k + 1)
+    var h = 0L
+    for (i <- 0 until s.length) {
+      if (i >= k) h = (h - s.charAt(i - k) * pow % M + M * 2) % M
+      h = (h * B + s.charAt(i)) % M
+      if (i >= k - 1) hashes(i - k + 1) = h
+    }
+    if (hashes.length <= w) return Seq(hashes.min).distinct
+    // min per window, keep rightmost-min rule, dedup consecutive picks
+    val out = scala.collection.mutable.LinkedHashSet[Long]()
+    for (start <- 0 to hashes.length - w) {
+      out += hashes.slice(start, start + w).min
+    }
+    out.toSeq
+  }
+
+  /** Winnowing as a Dataset op: (doc_id, fingerprint) rows. */
+  def winnowFingerprints(docs: DataFrame, spark: SparkSession,
+                         k: Int = 8, w: Int = 6): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) => winnow(t, k, w).map(id -> _) }
+      .toDF("doc_id", "fingerprint")
+  }
 }

@@ -93,6 +93,31 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.lshTopK(emb, 3, 20, 8, 4, spark).count() > 0)
   }
 
+  test("winnowing: shared substrings of length >= w+k-1 share a fingerprint") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = "completely different prefix text " + a.substring(10) // long shared suffix
+    val fa = TextAnalysis.winnow(a).toSet
+    val fb = TextAnalysis.winnow(b).toSet
+    assert((fa & fb).nonEmpty, "shared substring must yield shared fingerprint")
+    val c = "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn"
+    assert((fa & TextAnalysis.winnow(c).toSet).isEmpty)
+    // distributed op agrees with the local kernel
+    import spark.implicits._
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val rows = TextAnalysis.winnowFingerprints(df, spark).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert(rows(1L) == fa && rows(2L) == fb)
+  }
+
+  test("cosineNearDups finds planted embedding duplicates via LSH buckets") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = Corpora.withEmbeddingDups(emb)
+    val got = Similarity.cosineNearDups(corpus, 990, 8, 4, spark)
+      .filter(col("doc_b") === col("doc_a") + 100000L)
+    // tiny perturbation almost never flips a sign bit in any of 8 bands
+    assert(got.count() >= 9, s"found only ${got.count()}/10 planted pairs")
+  }
+
   test("multimodal kernel output matches metadata contract") {
     val meta = Multimodal.decodeMeta(docs, spark).toDF().cache()
     assert(meta.filter(col("width") < 32 || col("width") >= 672).count() == 0)

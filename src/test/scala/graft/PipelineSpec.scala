@@ -57,6 +57,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(t.count() == t.distinct().count())
   }
 
+  test("driver contract: entry() returns rows; every query has a fn") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every oracle entry must reference an existing query
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
   test("mentions stage is shuffle-free (broadcast join only)") {
     val plan = Stages.mentions(Stages.tokens(pages), spark)
       .queryExecution.executedPlan.toString
