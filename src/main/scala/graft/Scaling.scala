@@ -51,12 +51,28 @@ object Scaling {
     s
   }
 
+  /** Materialize the synthetic pages corpus to parquet ONCE (fixture
+    * construction — wrap-HTML UDF — is not part of the engine being
+    * measured; the production job reads pages from an Iceberg table). */
+  def materializedCorpus(spark: SparkSession, sfDir: String): String = {
+    val path = s"/tmp/graft_scaling_corpus_r${Replicas}_${sfDir.replaceAll("[^a-z0-9.]", "_")}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      replicatedPages(spark, sfDir)
+        .select("doc_id", "url", "html", "lang")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   /** One timed end-to-end extraction over the production (fused) path:
-    * pages → tokenize/link/pair/classify in-row → global dedup. */
+    * pages parquet scan → extract html→text (native expression) →
+    * tokenize/link/pair/classify in-row → global dedup. */
   def runOnce(spark: SparkSession, sfDir: String): (Long, Long, Double) = {
-    val pages = replicatedPages(spark, sfDir)
-    val nDocs = pages.count() // materialize input sizing outside the clock
+    val corpus = materializedCorpus(spark, sfDir)
+    val nDocs = spark.read.parquet(corpus).count()
     val t0 = System.nanoTime()
+    val pages = spark.read.parquet(corpus)
+      .withColumn("text", graft.functions.ExtractHtmlText(col("html")))
     val nTriples = Stages.extractTriplesFused(pages, spark).count()
     val secs = (System.nanoTime() - t0) / 1e9
     (nDocs, nTriples, secs)
