@@ -63,7 +63,10 @@ object DocRED {
   /** Ordered pair table: one row per (h,t), h≠t — exactly n·(n−1) rows per
     * doc (asserted in tests, mirroring prepro.py:157). */
   def pairs(docs: DataFrame): DataFrame = {
+    // n = 0 guard: sequence(0, -1) is a DESCENDING [0, -1] in Spark, which
+    // would emit phantom pairs for empty vertexSets — empty docs emit none
     val ents = docs.select(col("title"), size(col("vertexSet")).as("n"))
+      .filter(col("n") > 0)
       .select(col("title"), explode(sequence(lit(0), col("n") - 1)).as("h"), col("n"))
       .select(col("title"), col("h"), explode(sequence(lit(0), col("n") - 1)).as("t"))
       .filter(col("h") =!= col("t"))

@@ -57,7 +57,10 @@ object Similarity {
                    spark: SparkSession): DataFrame = {
     val q = quantized(embeddings)
     val nBits = bands * bitsPerBand
-    val dims = 64 // embedding dimensionality of the corpus
+    // derive dimensionality from the data (one-row job) — a hardcoded dim
+    // would silently truncate sketches on any other corpus
+    val dims = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
+    require(dims > 0, "bandSketches: empty embedding column")
     val planes = broadcast(
       spark.range(nBits).select(col("id").cast("int").as("j"))
         .crossJoin(spark.range(dims).select(col("id").cast("int").as("d")))
@@ -114,10 +117,13 @@ object Similarity {
       .join(q.select(col("vec_id").as("doc_b"), col("q").as("qb"), col("norm2").as("nb")), "doc_b")
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("dot", dotQ(col("qa"), col("qb")))
-      // integer threshold test: dot > 0 and 1e6·dot² ≥ thr²·na·nb (permille²)
+      // exact integer threshold test in decimal(38,0): dot²·10⁶ ≥ thr²·na·nb.
+      // Long math would overflow (and silently wrap) for norms ≳ 2; decimal
+      // keeps it exact to 10^38, matching DuckDB's HUGEINT semantics.
       .filter(col("dot") > 0 &&
-        col("dot") * col("dot") * 1000000L >=
-          lit(minCosPermille.toLong * minCosPermille) * col("na") * col("nb"))
+        col("dot").cast("decimal(38,0)") * col("dot") * lit(1000000L) >=
+          lit(minCosPermille.toLong * minCosPermille) *
+            col("na").cast("decimal(38,0)") * col("nb"))
       .select("doc_a", "doc_b", "dot")
   }
 }

@@ -52,7 +52,7 @@ object GlreTsv {
       array_join(transform(col("sents"), s => array_join(s, " ")), "||").as("text"),
       col("pairs"))
       .select(col("title"), col("text"),
-        explode_outer(col("pairs")).as("p"))
+        posexplode_outer(col("pairs")).as(Seq("idx", "p")))
       .withColumn("chunk", when(col("p").isNotNull, concat_ws("\t",
         col("p.rel"), col("p.dir"), col("p.cross"),
         col("p.headPosRange"), col("p.tailPosRange"),
@@ -70,7 +70,13 @@ object GlreTsv {
         array_join(col("p.tSentIds"), ":"),
         col("p.indevTrain"))))
       .groupBy("title", "text")
-      .agg(array_join(collect_list(col("chunk")), "\t").as("chunks"))
+      // collect_list order is partition-order dependent after a shuffle —
+      // carry the original pair index and sort so line content matches the
+      // reference's document-order writer under ANY parallelism
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("idx"), col("chunk")))),
+          s => s.getField("chunk")),
+        "\t").as("chunks"))
       .select(concat_ws("\t", col("title"), col("text"),
         when(length(col("chunks")) > 0, col("chunks"))).as("line"))
   }

@@ -34,6 +34,35 @@ class RunnerSpec extends AnyFunSuite {
     assert(direct.exceptAll(written).count() == 0)
   }
 
+  test("observed counts match written data; crash-resume replays idempotently") {
+    val out = Files.createTempDirectory("graft_run3").toString
+    val pages = Pages.fromDocuments(spark, sfDir)
+    val m1 = TripleExtraction.run(pages, out, spark)
+    val written = spark.read.parquet(s"$out/triples")
+    val total1 = written.count()
+    assert(m1.triples == total1) // Observation metrics == written rows
+    // manifest: one row per bucket, per-bucket counts exact, own wall time
+    val mp = java.nio.file.Paths.get(out, "_lineage.jsonl")
+    val lines = Files.readAllLines(mp)
+    assert(lines.size == TripleExtraction.NumBuckets)
+    val rx = """\{"bucket":(\d+),"status":"done","n_triples":(\d+),"wall_ms":(\d+)\}""".r
+    val manifestCounts = lines.toArray.map { l =>
+      val m = rx.findFirstMatchIn(l.toString).get
+      m.group(1).toInt -> m.group(2).toLong
+    }.toMap
+    val actualCounts = written.groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    actualCounts.foreach { case (b, n) => assert(manifestCounts(b) == n, s"bucket $b") }
+    assert(manifestCounts.values.sum == total1)
+    // simulate a crash AFTER the last bucket's parquet write but BEFORE its
+    // manifest append: drop the final manifest line, leave its data in place
+    Files.write(mp, (lines.toArray.dropRight(1).mkString("\n") + "\n").getBytes)
+    val m2 = TripleExtraction.run(pages, out, spark)
+    assert(m2.buckets.size == 1)
+    // overwrite semantics: the replayed bucket REPLACES, never appends
+    assert(spark.read.parquet(s"$out/triples").count() == total1)
+  }
+
   test("partial manifest: only missing buckets are replayed") {
     val out = Files.createTempDirectory("graft_run2").toString
     val pages = Pages.fromDocuments(spark, sfDir)
