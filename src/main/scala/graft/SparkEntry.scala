@@ -22,6 +22,10 @@ object SparkEntry {
   private def cents(c: org.apache.spark.sql.Column) =
     floor(c * 100 + 0.5).cast("long")
 
+  /** LSH parameters shared by q_embed_neardup's Spark plan and its oracle. */
+  val EmbBands = 8
+  val EmbBitsPerBand = 4
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full pages → triples pipeline. */
   def entry(spark: SparkSession): DataFrame = {
@@ -246,17 +250,12 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))),
 
     "q_embed_neardup" -> ((s, dir) => {
-      // embedding-cosine near-dup over planted duplicates; exact integer
-      // threshold test: dot > 0 ∧ dot²·10⁶ ≥ 990²·|a|²·|b|²
+      // embedding-cosine near-dup via LSH band buckets (the 100 TB shape:
+      // candidate generation is a uniform bucket self-join, never all-pairs;
+      // the md5-derived hyperplanes are deterministic so DuckDB replays
+      // them exactly). Exact threshold: dot > 0 ∧ dot²·10⁶ ≥ 990²·na·nb.
       val corpus = ops.Corpora.withEmbeddingDups(s.read.parquet(s"$dir/embeddings.parquet"))
-      val q = ops.Similarity.quantized(corpus)
-      val a = q.select(col("vec_id").as("doc_a"), col("q").as("qa"), col("norm2").as("na"))
-      val b = q.select(col("vec_id").as("doc_b"), col("q").as("qb"), col("norm2").as("nb"))
-      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
-        .withColumn("dot", ops.Similarity.dotQ(col("qa"), col("qb")))
-        .filter(col("dot") > 0 &&
-          col("dot") * col("dot") * 1000000L >= lit(980100L) * col("na") * col("nb"))
-        .select("doc_a", "doc_b", "dot")
+      ops.Similarity.cosineNearDups(corpus, 990, EmbBands, EmbBitsPerBand, s)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -620,7 +619,7 @@ object SparkEntry {
       SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
 
-    "q_embed_neardup" -> """
+    "q_embed_neardup" -> s"""
       WITH corpus AS (
         SELECT vec_id, embedding FROM embeddings
         UNION ALL
@@ -632,16 +631,29 @@ object SparkEntry {
                list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
         FROM corpus),
       qn2 AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2 FROM qn),
+      qd AS (SELECT vec_id, unnest(q) AS qv, unnest(range(len(q))) AS d FROM qn2),
+      bits AS (
+        SELECT vec_id, j,
+               CASE WHEN SUM(qv * CASE WHEN substring(md5(j::VARCHAR || '|' || d::VARCHAR), 1, 1) >= '8'
+                                  THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+        FROM qd, (SELECT unnest(range(${EmbBands * EmbBitsPerBand})) AS j) GROUP BY 1, 2),
+      sigs AS (
+        SELECT vec_id, CAST(j // $EmbBitsPerBand AS INT) AS band,
+               CAST(SUM(bit * CAST(pow(2, j % $EmbBitsPerBand) AS BIGINT)) AS BIGINT) AS sig
+        FROM bits GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
       dots AS (
-        SELECT a_id AS doc_a, b_id AS doc_b, CAST(SUM(av * bv) AS BIGINT) AS dot FROM (
-          SELECT a.vec_id AS a_id, b.vec_id AS b_id, unnest(a.q) AS av, unnest(b.q) AS bv
-          FROM qn2 a, qn2 b WHERE a.vec_id < b.vec_id)
+        SELECT doc_a, doc_b, CAST(SUM(av * bv) AS BIGINT) AS dot FROM (
+          SELECT c.doc_a, c.doc_b, unnest(a.q) AS av, unnest(b.q) AS bv
+          FROM cand c JOIN qn2 a ON c.doc_a = a.vec_id JOIN qn2 b ON c.doc_b = b.vec_id)
         GROUP BY 1, 2)
       SELECT d.doc_a, d.doc_b, d.dot
       FROM dots d
       JOIN qn2 na ON d.doc_a = na.vec_id
       JOIN qn2 nb ON d.doc_b = nb.vec_id
-      WHERE d.dot > 0 AND d.dot * d.dot * 1000000 >= 980100 * na.norm2 * nb.norm2
+      WHERE d.dot > 0 AND d.dot::HUGEINT * d.dot * 1000000 >= 980100::HUGEINT * na.norm2 * nb.norm2
       ORDER BY 1, 2""",
 
     "q_multimodal" -> s"""

@@ -48,11 +48,21 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "dot")
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   /** Banded sign-bit LSH sketches: `bands` independent hash tables of
     * `bitsPerBand` hyperplane sign bits each (the standard multi-table
     * random-hyperplane LSH: a pair is a candidate if ALL bits of ANY band
     * agree). Hyperplane component (j, d) is +1/-1 from md5(j|d) —
-    * deterministic everywhere, no RNG state. Returns (vec_id, band, sig). */
+    * deterministic everywhere, no RNG state. Returns (vec_id, band, sig).
+    *
+    * Fully in-row: the sign matrix is a plan literal and each row computes
+    * all its band signatures via array HOFs — ZERO shuffles for sketching
+    * (the old posexplode+join formulation moved N×dims×nBits rows through
+    * two aggregations). At very large dims×nBits swap the literal for a
+    * broadcast variable; at 64×32 it is ~16 KB of plan. */
   def bandSketches(embeddings: DataFrame, bands: Int, bitsPerBand: Int,
                    spark: SparkSession): DataFrame = {
     val q = quantized(embeddings)
@@ -61,19 +71,24 @@ object Similarity {
     // would silently truncate sketches on any other corpus
     val dims = embeddings.select(size(col("embedding")).as("d")).head.getInt(0)
     require(dims > 0, "bandSketches: empty embedding column")
-    val planes = broadcast(
-      spark.range(nBits).select(col("id").cast("int").as("j"))
-        .crossJoin(spark.range(dims).select(col("id").cast("int").as("d")))
-        .withColumn("sign",
-          when(md5(concat(col("j").cast("string"), lit("|"), col("d").cast("string"))
-            .cast("binary")).substr(1, 1) >= "8", lit(1L)).otherwise(lit(-1L))))
-    q.select(col("vec_id"), posexplode(col("q")).as(Seq("d", "v")))
-      .join(planes, Seq("d"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg((sum(col("v") * col("sign")) > 0).cast("long").as("bit"))
-      .withColumn("band", (col("j") / bitsPerBand).cast("int"))
-      .groupBy(col("vec_id"), col("band"))
-      .agg(sum(col("bit") * expr(s"CAST(pow(2, j % $bitsPerBand) AS BIGINT)")).as("sig"))
+    // signs(j)(d) = +1 iff first md5 hex digit of "j|d" >= '8' — identical
+    // to SQL md5(concat(j, '|', d)) in both Spark and DuckDB
+    val signs: Seq[Seq[Long]] = (0 until nBits).map { j =>
+      (0 until dims).map(d => if (md5Hex(s"$j|$d").charAt(0) >= '8') 1L else -1L)
+    }
+    val signsLit = typedLit(signs)
+    val pow2 = typedLit((0 until bitsPerBand).map(k => 1L << k))
+    q.select(col("vec_id"),
+        transform(sequence(lit(0), lit(nBits - 1)), j =>
+          when(aggregate(zip_with(col("q"), element_at(signsLit, j + 1),
+            (x, s) => x * s), lit(0L), (a, v) => a + v) > 0, lit(1L))
+            .otherwise(lit(0L))).as("bits"))
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          aggregate(sequence(lit(0), lit(bitsPerBand - 1)), lit(0L),
+            (acc, k) => acc +
+              element_at(col("bits"), b * bitsPerBand + k + 1) *
+                element_at(pow2, k + 1)))).as(Seq("band", "sig")))
   }
 
   /** LSH-bucketed ANN: probes join candidates sharing any (band, sig)
