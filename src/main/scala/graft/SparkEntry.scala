@@ -101,21 +101,22 @@ object SparkEntry {
     }),
     "q_mentions" -> ((s, dir) => {
       val pages = Pages.fromDocuments(s, dir)
-      Stages.mentions(Stages.tokens(pages), s)
+      Stages.mentions(pages, s)
         .groupBy(col("doc_id"), col("alias"))
-        .agg(count(lit(1)).as("n_mentions"), min(col("pos")).as("first_pos"))
+        .agg(count(lit(1)).as("n_mentions"), min(col("pos_start")).as("first_pos"),
+          sum(col("pos_end") - col("pos_start") + 1).as("n_span_tokens"))
         .orderBy(col("doc_id"), col("alias"))
     }),
     "q_linked" -> ((s, dir) => {
       val pages = Pages.fromDocuments(s, dir)
-      Stages.linked(Stages.mentions(Stages.tokens(pages), s), s)
+      Stages.linked(Stages.mentions(pages, s), s)
         .groupBy(col("doc_id"), col("alias"), col("qid"), col("ner_type"))
         .agg(count(lit(1)).as("n_mentions"))
         .orderBy(col("doc_id"), col("alias"))
     }),
     "q_pairs" -> ((s, dir) => {
       val pages = Pages.fromDocuments(s, dir)
-      val linked = Stages.linked(Stages.mentions(Stages.tokens(pages), s), s)
+      val linked = Stages.linked(Stages.mentions(pages, s), s)
       Stages.pairs(linked)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -132,22 +133,22 @@ object SparkEntry {
 
     // -- KG enrichment / coref / canonicalization / kernel / eval --
     "q_kg_onehop" -> ((s, dir) => {
-      val linked = Stages.linkedFast(Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s), s)
+      val linked = Stages.linkedFast(Stages.mentions(Pages.fromDocuments(s, dir), s), s)
       pipeline.Enrich.oneHop(linked, s)
         .orderBy(col("doc_id"), col("h"), col("r"), col("t"))
     }),
     "q_kg_attrs" -> ((s, dir) => {
-      val linked = Stages.linkedFast(Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s), s)
+      val linked = Stages.linkedFast(Stages.mentions(Pages.fromDocuments(s, dir), s), s)
       pipeline.Enrich.attributes(linked, s).orderBy(col("qid"))
     }),
     "q_coref_top8" -> ((s, dir) => {
-      val ments = Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s)
+      val ments = Stages.mentions(Pages.fromDocuments(s, dir), s)
       pipeline.Coref.aliasCoref(ments)
         .select("doc_id", "alias", "p1", "p2", "dist", "rank")
         .orderBy(col("doc_id"), col("alias"), col("p1"), col("rank"))
     }),
     "q_dis_bucket" -> ((s, dir) => {
-      val ments = Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s)
+      val ments = Stages.mentions(Pages.fromDocuments(s, dir), s)
       pipeline.Coref.distanceHistogram(pipeline.Coref.aliasCoref(ments))
         .orderBy(col("bucket"))
     }),
@@ -155,7 +156,7 @@ object SparkEntry {
       // per-doc graphs are tiny → exact CC via partition-local union-find
       // (one shuffle); the iterative labelPropagation variant covers graphs
       // too big for one task and is pinned equal in ComponentsSpec
-      val linked = Stages.linkedFast(Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s), s)
+      val linked = Stages.linkedFast(Stages.mentions(Pages.fromDocuments(s, dir), s), s)
       val prs = Stages.pairs(linked).filter(col("h_qid") < col("t_qid"))
       val verts = linked.select(col("doc_id").cast("string").as("scope"), col("qid").as("v")).distinct()
       val edges = prs.select(col("doc_id").cast("string").as("scope"),
@@ -167,7 +168,7 @@ object SparkEntry {
     "q_scored_triples" -> ((s, dir) => {
       // the mapPartitions scoring kernel; with fixture weights its decode is
       // provably identical to the rule path, so it shares q_triples' oracle
-      val linked = Stages.linkedFast(Stages.mentions(Stages.tokens(Pages.fromDocuments(s, dir)), s), s)
+      val linked = Stages.linkedFast(Stages.mentions(Pages.fromDocuments(s, dir), s), s)
       pipeline.RelationScorer.extract(linked, s)
         .select("doc_id", "subj", "pred", "obj").distinct()
         .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
@@ -271,7 +272,14 @@ object SparkEntry {
   // -------------------------------------------------------------- oracle SQL
 
   /** Shared DuckDB CTE prefix reproducing the pipeline stages relationally.
-    * Generated from the same Gazetteer constants as the Spark side. */
+    * Generated from the same Gazetteer constants as the Spark side.
+    *
+    * Sentence rule (mirrors Stages.sentences): a token ending in [.!?;]
+    * closes a segment; segments are subdivided into SentenceChunk-token
+    * chunks; sent_id = dense rank of (seg, chunk) per doc. Mention rule
+    * (mirrors Stages.sentenceMentions): all L-token windows (L ∈ alias
+    * lengths) inside one sentence matching the dictionary, minus matches
+    * strictly contained in a longer match. */
   private def kbCtes: String = s"""
     aliases(alias, qid, prio) AS (SELECT * FROM (VALUES ${Gazetteer.aliasValues}) v(alias, qid, prio)),
     etypes(qid, ner_type) AS (SELECT * FROM (VALUES ${Gazetteer.typeValues}) v(qid, ner_type)),
@@ -285,10 +293,53 @@ object SparkEntry {
              unnest(range(len(string_split(text, ' ')))) AS pos
       FROM norm_docs
     ),
-    toks2 AS (SELECT doc_id, tok, pos, CAST(pos // ${Gazetteer.SentenceChunk} AS INT) AS sent_id FROM toks),
+    tseg AS (
+      SELECT doc_id, tok, pos,
+             COALESCE(SUM(CASE WHEN regexp_matches(tok, '[.!?;]$$') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+      FROM toks
+    ),
+    tchunk AS (
+      SELECT doc_id, tok, pos, seg,
+             (row_number() OVER (PARTITION BY doc_id, seg ORDER BY pos) - 1)
+               // ${Gazetteer.SentenceChunk} AS chunk
+      FROM tseg
+    ),
+    tsent AS (
+      SELECT doc_id, tok, pos,
+             dense_rank() OVER (PARTITION BY doc_id ORDER BY seg, chunk) - 1 AS sent_id
+      FROM tchunk
+    ),
+    sents AS (
+      SELECT doc_id, CAST(sent_id AS INT) AS sent_id, MIN(pos) AS st, MAX(pos) AS en,
+             list(tok ORDER BY pos) AS stoks
+      FROM tsent GROUP BY doc_id, sent_id
+    ),
+    cand AS (
+      SELECT doc_id, sent_id, c.ps AS pos_start, c.pe AS pos_end, c.phrase AS alias
+      FROM (
+        SELECT doc_id, sent_id, st, en,
+               unnest(list_filter(
+                 flatten(list_transform([${Gazetteer.aliasLens.mkString(", ")}], L ->
+                   list_transform(range(len(stoks)), i ->
+                     {'ps': st + i, 'pe': st + i + L - 1,
+                      'phrase': array_to_string(stoks[i + 1 : i + CAST(L AS INT)], ' ')}))),
+                 c -> c.pe <= en)) AS c
+        FROM sents)
+    ),
+    ments0 AS (
+      SELECT c.doc_id, c.sent_id, CAST(c.pos_start AS INT) AS pos_start,
+             CAST(c.pos_end AS INT) AS pos_end, c.alias
+      FROM cand c WHERE c.alias IN (SELECT alias FROM aliases)
+    ),
     ments AS (
-      SELECT t.doc_id, t.sent_id, t.pos, t.tok AS alias
-      FROM toks2 t WHERE t.tok IN (SELECT alias FROM aliases)
+      SELECT m.* FROM ments0 m
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ments0 o
+        WHERE o.doc_id = m.doc_id AND o.pos_start <= m.pos_start
+          AND o.pos_end >= m.pos_end
+          AND o.pos_end - o.pos_start > m.pos_end - m.pos_start)
     ),
     winner AS (
       SELECT doc_id, alias, qid FROM (
@@ -299,7 +350,7 @@ object SparkEntry {
       ) WHERE rk = 1
     ),
     linked AS (
-      SELECT m.doc_id, m.sent_id, m.pos, m.alias, w.qid, e.ner_type
+      SELECT m.doc_id, m.sent_id, m.pos_start, m.pos_end, m.alias, w.qid, e.ner_type
       FROM ments m
       JOIN winner w ON m.doc_id = w.doc_id AND m.alias = w.alias
       JOIN etypes e ON w.qid = e.qid
@@ -357,7 +408,8 @@ object SparkEntry {
       FROM documents ORDER BY doc_id""",
     "q_mentions" -> s"""
       WITH $kbCtes
-      SELECT doc_id, alias, COUNT(*) AS n_mentions, CAST(MIN(pos) AS INT) AS first_pos
+      SELECT doc_id, alias, COUNT(*) AS n_mentions, CAST(MIN(pos_start) AS INT) AS first_pos,
+             CAST(SUM(pos_end - pos_start + 1) AS BIGINT) AS n_span_tokens
       FROM ments GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_linked" -> s"""
       WITH $kbCtes
@@ -400,12 +452,12 @@ object SparkEntry {
     "q_coref_top8" -> s"""
       WITH $kbCtes,
       cp AS (
-        SELECT m1.doc_id, m1.alias, m1.pos AS p1, m2.pos AS p2,
-               abs(m1.pos - m2.pos) AS dist,
-               row_number() OVER (PARTITION BY m1.doc_id, m1.alias, m1.pos
-                 ORDER BY abs(m1.pos - m2.pos) ASC, m2.pos ASC) AS rank
+        SELECT m1.doc_id, m1.alias, m1.pos_start AS p1, m2.pos_start AS p2,
+               abs(m1.pos_start - m2.pos_start) AS dist,
+               row_number() OVER (PARTITION BY m1.doc_id, m1.alias, m1.pos_start
+                 ORDER BY abs(m1.pos_start - m2.pos_start) ASC, m2.pos_start ASC) AS rank
         FROM ments m1 JOIN ments m2
-          ON m1.doc_id = m2.doc_id AND m1.alias = m2.alias AND m1.pos <> m2.pos)
+          ON m1.doc_id = m2.doc_id AND m1.alias = m2.alias AND m1.pos_start <> m2.pos_start)
       SELECT doc_id, alias, CAST(p1 AS INT) AS p1, CAST(p2 AS INT) AS p2,
              CAST(dist AS INT) AS dist, CAST(rank AS INT) AS rank
       FROM cp WHERE rank <= ${graft.pipeline.Coref.TopPartners}
@@ -413,11 +465,11 @@ object SparkEntry {
     "q_dis_bucket" -> s"""
       WITH $kbCtes,
       cp AS (
-        SELECT m1.doc_id, abs(m1.pos - m2.pos) AS dist,
-               row_number() OVER (PARTITION BY m1.doc_id, m1.alias, m1.pos
-                 ORDER BY abs(m1.pos - m2.pos) ASC, m2.pos ASC) AS rank
+        SELECT m1.doc_id, abs(m1.pos_start - m2.pos_start) AS dist,
+               row_number() OVER (PARTITION BY m1.doc_id, m1.alias, m1.pos_start
+                 ORDER BY abs(m1.pos_start - m2.pos_start) ASC, m2.pos_start ASC) AS rank
         FROM ments m1 JOIN ments m2
-          ON m1.doc_id = m2.doc_id AND m1.alias = m2.alias AND m1.pos <> m2.pos)
+          ON m1.doc_id = m2.doc_id AND m1.alias = m2.alias AND m1.pos_start <> m2.pos_start)
       SELECT CAST(CASE WHEN dist <= 0 THEN 0 WHEN dist < 2 THEN 1 WHEN dist < 4 THEN 2
                   WHEN dist < 8 THEN 3 WHEN dist < 16 THEN 4 WHEN dist < 32 THEN 5
                   WHEN dist < 64 THEN 6 WHEN dist < 128 THEN 7 WHEN dist < 256 THEN 8

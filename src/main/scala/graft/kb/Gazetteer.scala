@@ -40,8 +40,24 @@ object Gazetteer {
     ("batch", "Q15", 1),
     ("batch", "Q16", 1),  // intra-tier collision: tie → min(qid) = Q15
     ("column", "Q17", 1),
-    ("group", "Q18", 1)
+    ("group", "Q18", 1),
+    // multi-token aliases (reference matches alias token SEQUENCES against
+    // the document, `ATLOP+KIRE/data/gen_coref_data.py:163-169`); chosen to
+    // overlap single-token aliases so maximal-match suppression is exercised
+    // on real corpus hits: "hash join" ⊃ {"hash", "join"},
+    // "sort merge join" ⊃ {"sort", "merge", "merge join", "join"}.
+    ("hash join", "Q30", 0),
+    ("sort merge join", "Q31", 0),
+    ("merge join", "Q32", 1),
+    ("table scan", "Q33", 0),
+    // partially overlaps "merge join" (shares "join", neither contains the
+    // other): both survive maximal-match suppression
+    ("join order", "Q34", 1)
   )
+
+  /** Distinct alias token lengths — drives the sliding-window widths of the
+    * mention matcher in BOTH engines. */
+  def aliasLens: Seq[Int] = aliases.map(_._1.split(" ").length).distinct.sorted
 
   /** qid → NER type (reference type vocabulary: ORG/LOC/NUM/TIME/MISC/PER;
     * `SSAN+KIRE/dataset.py:74`; TECH stands in for MISC-like tech entities). */
@@ -50,7 +66,9 @@ object Gazetteer {
     "Q5" -> "TECH", "Q6" -> "TECH", "Q7" -> "TECH", "Q8" -> "ORG",
     "Q9" -> "MISC", "Q10" -> "TECH", "Q11" -> "TECH", "Q12" -> "TECH",
     "Q13" -> "TECH", "Q14" -> "TECH", "Q15" -> "ORG", "Q16" -> "ORG",
-    "Q17" -> "TECH", "Q18" -> "ORG"
+    "Q17" -> "TECH", "Q18" -> "ORG",
+    "Q30" -> "TECH", "Q31" -> "TECH", "Q32" -> "TECH", "Q33" -> "MISC",
+    "Q34" -> "TECH"
   )
 
   /** Deterministic relation rules: (headType, tailType) → predicate.
@@ -83,6 +101,8 @@ object Gazetteer {
     ("Q13", "P_feeds", "Q11"),
     ("Q14", "P_feeds", "Q3"),
     ("Q15", "P_sched", "Q7"),
+    ("Q30", "P_impl", "Q2"),   // multi-word-linked entity in the one-hop graph
+    ("Q31", "P_variant", "Q30"),
     ("Q20", "P_ext", "Q21")  // fully outside any document: must be pruned
   )
 
@@ -113,12 +133,16 @@ object Gazetteer {
     ("Q14", "label", "sort"),
     ("Q15", "label", "batch co"),
     ("Q17", "label", "column"),
-    ("Q18", "label", "group org")
+    ("Q18", "label", "group org"),
+    ("Q30", "label", "hash join"),
+    ("Q30", "instance of", "algorithm"),
+    ("Q31", "label", "sort merge join")
   )
 
-  /** Tokens per pseudo-sentence when chunking the flat token stream of a web
-    * document (the synthetic corpus has no sentence punctuation; a fixed
-    * chunk width keeps co-occurrence scope deterministic and partition-local). */
+  /** Cap on tokens per sentence: punctuation-delimited segments longer than
+    * this are subdivided into fixed chunks (the T7 rule-based splitter's
+    * run-on guard; on punctuation-less web text every doc is one segment and
+    * this cap alone bounds the co-occurrence scope). */
   val SentenceChunk = 16
 
   // ---- SQL VALUES generation (DuckDB oracle side) ----

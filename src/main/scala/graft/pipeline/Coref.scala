@@ -17,11 +17,12 @@ object Coref {
   val Prior = 0.9 // gen_coref_data.py:131,198-199
   val TopPartners = 8
 
-  /** Coref pairs from detected mentions (doc_id, sent_id, pos, alias):
+  /** Coref pairs from detected mentions (doc_id, sent_id, pos_start,
+    * pos_end, alias) — span mentions corefer by start position:
     * (doc_id, alias, p1, p2, dist, rank, score), rank ≤ 8 per left mention. */
   def aliasCoref(mentions: DataFrame): DataFrame = {
-    val m1 = mentions.select(col("doc_id"), col("alias"), col("pos").as("p1"))
-    val m2 = mentions.select(col("doc_id"), col("alias"), col("pos").as("p2"))
+    val m1 = mentions.select(col("doc_id"), col("alias"), col("pos_start").as("p1"))
+    val m2 = mentions.select(col("doc_id"), col("alias"), col("pos_start").as("p2"))
     val w = Window.partitionBy(col("doc_id"), col("alias"), col("p1"))
       .orderBy(col("dist").asc, col("p2").asc)
     m1.join(m2, Seq("doc_id", "alias"))

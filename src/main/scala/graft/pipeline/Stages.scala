@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.kb.Gazetteer
@@ -11,22 +11,56 @@ import graft.kb.Gazetteer
   * apply across stage boundaries).
   *
   * Scale notes (100 TB / 10^12 docs):
-  *  - tokens/mentions/pairs are all partition-local transforms of `pages`
-  *    (explode + broadcast joins) — NO shuffle until the final distinct.
-  *  - the alias dictionary and rule tables are broadcast (small dims).
+  *  - sentence splitting, mention candidate generation, dictionary
+  *    membership, and longest-match suppression are all per-row array HOFs —
+  *    NO shuffle until pair aggregation / the final distinct.
+  *  - the alias dictionary rides in the plan as a literal map (hash lookup
+  *    per candidate). At reference dictionary scale (~63k aliases) that is
+  *    a few MB of plan — still fine; at true Wikidata scale swap the literal
+  *    for a broadcast join on the exploded candidates (the `linked` stage
+  *    already demonstrates that join shape).
   *  - per-sentence pair generation is done with array HOFs inside the row,
   *    never a relational self-join, so the n·(n−1) blowup stays inside one
   *    task and never hits the shuffle.
   */
 object Stages {
 
-  /** Flat token stream: one row per token with sentence chunking.
-    * Reference analog: per-doc token concatenation with offset prefix sums
-    * (`ATLOP+KIRE/data/gen_kg_data.py:249-269`). */
+  /** Sentence-boundary rule (T7 substitute, replacing GENIA in
+    * `GLRE+KIRE/data_processing/tools.py:246-305`): a token ending in
+    * terminal punctuation closes a sentence; segments longer than
+    * `SentenceChunk` tokens are subdivided (run-on/punctuation-less guard). */
+  val BoundaryRegex = "[.!?;]$"
+
+  /** Flat token stream: one row per token with its global position (used by
+    * vocabulary/statistics consumers; the mention path keeps tokens in-row). */
   def tokens(pages: DataFrame): DataFrame =
+    pages.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+
+  /** Sentence table: (doc_id, sent_id, st, en, stoks) where sent_id is dense
+    * 0-based per doc, [st, en] the inclusive global token range, and stoks
+    * the sentence's token slice. Entirely in-row: boundary detection,
+    * segment spans, and chunk subdivision are array HOFs; the posexplode
+    * assigns dense ids without any window or shuffle. */
+  def sentences(pages: DataFrame): DataFrame = {
+    val chunk = Gazetteer.SentenceChunk
     pages
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("sent_id", (col("pos") / Gazetteer.SentenceChunk).cast("int"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("bidx", expr(
+        s"filter(sequence(0, size(toks) - 1), i -> element_at(toks, i + 1) rlike '$BoundaryRegex')"))
+      .withColumn("spans", expr(s"""
+        flatten(transform(
+          filter(zip_with(concat(array(0), transform(bidx, b -> b + 1)),
+                          concat(bidx, array(size(toks) - 1)),
+                          (s, e) -> struct(s AS st, e AS en)),
+                 p -> p.st <= p.en),
+          p -> transform(sequence(0, (p.en - p.st) div $chunk),
+                 c -> struct(CAST(p.st + c * $chunk AS INT) AS st,
+                             CAST(least(p.st + c * $chunk + ${chunk - 1}, p.en) AS INT) AS en))))"""))
+      .select(col("doc_id"), col("toks"), posexplode(col("spans")).as(Seq("sent_id", "span")))
+      .select(col("doc_id"), col("sent_id").cast("int").as("sent_id"),
+        col("span.st").as("st"), col("span.en").as("en"),
+        expr("slice(toks, span.st + 1, span.en - span.st + 1)").as("stoks"))
+  }
 
   /** Broadcast alias dictionaries. */
   def aliasDict(spark: SparkSession): DataFrame = {
@@ -44,15 +78,53 @@ object Stages {
     Gazetteer.relRules.toDF("h_type", "t_type", "pred")
   }
 
-  /** Mention detection: exact token match against the gazetteer
-    * (reference: alias substring scan `ATLOP+KIRE/data/gen_coref_data.py:163-169`;
-    * token-level here because the extractor guarantees space-normalized text).
-    * Broadcast hash join — no shuffle. */
-  def mentions(tokens: DataFrame, spark: SparkSession): DataFrame = {
-    val dict = broadcast(aliasDict(spark).select("alias").distinct())
-    tokens.join(dict, tokens("tok") === dict("alias"), "inner")
-      .select(col("doc_id"), col("sent_id"), col("pos"), col("alias"))
+  /** Adds a `ments` column to a sentences() frame: the sentence's maximal
+    * dictionary matches as array<struct<ps, pe, phrase>>.
+    *
+    * Semantics (T9/J8, multi-token `find_position` of
+    * `ATLOP+KIRE/data/gen_coref_data.py:163-169` plus longest-match-wins):
+    *  - a candidate is any L-token window (L ∈ alias lengths) inside one
+    *    sentence whose joined surface form is a dictionary alias — matches
+    *    never cross sentence boundaries;
+    *  - a match strictly contained in a longer match is suppressed
+    *    ("sort merge join" beats its inner "merge join"/"sort"/"join");
+    *    partially-overlapping maximal matches both survive. Containment
+    *    implies same-sentence, so per-sentence suppression is exact per-doc.
+    *
+    * `dict` is a map literal (phrase → anything non-null); membership and
+    * suppression run in-row — zero shuffle. */
+  def sentenceMentions(sents: DataFrame, dict: Column): DataFrame = {
+    val lens = Gazetteer.aliasLens.mkString(", ")
+    sents
+      .withColumn("cands", expr(s"""
+        filter(
+          flatten(transform(array($lens), L ->
+            transform(sequence(0, size(stoks) - 1),
+              i -> struct(CAST(st + i AS INT) AS ps,
+                          CAST(st + i + L - 1 AS INT) AS pe,
+                          concat_ws(' ', slice(stoks, i + 1, L)) AS phrase)))),
+          c -> c.pe <= en)"""))
+      .withColumn("cands", filter(col("cands"),
+        c => element_at(dict, c.getField("phrase")).isNotNull))
+      .withColumn("ments", filter(col("cands"), c =>
+        !exists(col("cands"), o =>
+          o.getField("ps") <= c.getField("ps") && o.getField("pe") >= c.getField("pe") &&
+            (o.getField("pe") - o.getField("ps")) > (c.getField("pe") - c.getField("ps")))))
+      .drop("cands")
   }
+
+  private def aliasMembership: Column =
+    typedLit(Gazetteer.aliases.map(_._1 -> 1).toMap)
+
+  /** Mention detection: span-based multi-token gazetteer matching.
+    * Output: (doc_id, sent_id, pos_start, pos_end, alias). In-row matching
+    * + suppression, then one explode — no joins, no shuffle. */
+  def mentions(pages: DataFrame, spark: SparkSession): DataFrame =
+    sentenceMentions(sentences(pages), aliasMembership)
+      .select(col("doc_id"), col("sent_id"), explode(col("ments")).as("m"))
+      .select(col("doc_id"), col("sent_id"),
+        col("m.ps").as("pos_start"), col("m.pe").as("pos_end"),
+        col("m.phrase").as("alias"))
 
   /** Entity linking: two-tier dictionary probe + deterministic vote
     * (`ATLOP+KIRE/data/gen_kg_data.py:76-87,272-304`). Vote per
@@ -73,7 +145,7 @@ object Stages {
       .select(col("doc_id"), col("alias"), col("qid"))
     mentions.join(winner, Seq("doc_id", "alias"))
       .join(broadcast(typeDict(spark)), Seq("qid"))
-      .select("doc_id", "sent_id", "pos", "alias", "qid", "ner_type")
+      .select("doc_id", "sent_id", "pos_start", "pos_end", "alias", "qid", "ner_type")
   }
 
   /** Fast-path entity linking: the per-doc vote is doc-independent (every
@@ -81,14 +153,12 @@ object Stages {
     * resolvedAliases), so linking is ONE broadcast hash join against the
     * pre-resolved dictionary. Result-identical to `linked` (FusedSpec pins
     * it); `linked` keeps the reference-shaped relational vote for
-    * inspection and the q_linked oracle. Use THIS in production plans —
-    * the vote variant embeds the mention lineage twice (join back onto its
-    * own derivation), which doubles upstream UDF work. */
+    * inspection and the q_linked oracle. Use THIS in production plans. */
   def linkedFast(mentions: DataFrame, spark: SparkSession): DataFrame = {
     import spark.implicits._
     val dict = broadcast(resolvedAliases.toDF("alias", "qid", "ner_type"))
     mentions.join(dict, Seq("alias"))
-      .select("doc_id", "sent_id", "pos", "alias", "qid", "ner_type")
+      .select("doc_id", "sent_id", "pos_start", "pos_end", "alias", "qid", "ner_type")
   }
 
   /** Per-sentence entity set then ordered-pair generation (J4,
@@ -119,7 +189,7 @@ object Stages {
 
   /** End-to-end: pages → triples through the staged relational path. */
   def extractTriples(pages: DataFrame, spark: SparkSession): DataFrame =
-    triples(pairs(linked(mentions(tokens(pages), spark), spark)), spark)
+    triples(pairs(linked(mentions(pages, spark), spark)), spark)
 
   // ------------------------------------------------------------ fused path
 
@@ -136,27 +206,20 @@ object Stages {
     }
   }
 
-  /** Fused pages → triples: all per-document work (tokenize, chunk, link,
-    * pair-gen, rule classify) happens in-row via higher-order functions and
-    * two literal maps baked into the plan — the final global dedup is the
-    * ONLY shuffle. This is the 100 TB shape: shuffle volume is the triple
-    * set, not the token stream.
+  /** Fused pages → triples: all per-document work (sentence split, phrase
+    * match, suppression, link, pair-gen, rule classify) happens in-row via
+    * higher-order functions and two literal maps baked into the plan — the
+    * final global dedup is the ONLY shuffle. This is the 100 TB shape:
+    * shuffle volume is the triple set, not the token stream.
     *
     * Output is identical to `extractTriples` (asserted in FusedSpec and by
     * sharing q_triples' oracle). */
   def extractTriplesFused(pages: DataFrame, spark: SparkSession): DataFrame = {
     val aliasMap = typedLit(resolvedAliases.map(r => r._1 -> (r._2 + "|" + r._3)).toMap)
     val ruleMap = typedLit(Gazetteer.relRules.map(r => (r._1 + "|" + r._2) -> r._3).toMap)
-    val chunk = Gazetteer.SentenceChunk
-    pages
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, (size(toks) - 1) div $chunk), s -> slice(toks, s * $chunk + 1, $chunk))"
-      )).as("sent"))
+    sentenceMentions(sentences(pages), aliasMap)
       .withColumn("ents", array_sort(array_distinct(
-        transform(
-          filter(col("sent"), t => element_at(aliasMap, t).isNotNull),
-          t => element_at(aliasMap, t)))))
+        transform(col("ments"), m => element_at(aliasMap, m.getField("phrase"))))))
       .filter(size(col("ents")) >= 2)
       .withColumn("pair", explode(
         flatten(transform(col("ents"), h =>

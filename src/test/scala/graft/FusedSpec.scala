@@ -34,7 +34,7 @@ class FusedSpec extends AnyFunSuite {
 
   test("resolved dictionary matches the relational vote winners") {
     val pages = Pages.fromDocuments(spark, sfDir)
-    val relational = Stages.linked(Stages.mentions(Stages.tokens(pages), spark), spark)
+    val relational = Stages.linked(Stages.mentions(pages, spark), spark)
       .select("alias", "qid").distinct().collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val resolved = Stages.resolvedAliases.map(r => r._1 -> r._2).toMap
@@ -43,7 +43,7 @@ class FusedSpec extends AnyFunSuite {
 
   test("linkedFast is row-identical to the relational vote path") {
     val pages = Pages.fromDocuments(spark, sfDir).cache()
-    val m = Stages.mentions(Stages.tokens(pages), spark)
+    val m = Stages.mentions(pages, spark)
     val slow = Stages.linked(m, spark)
     val fast = Stages.linkedFast(m, spark)
     assert(fast.exceptAll(slow).count() == 0)

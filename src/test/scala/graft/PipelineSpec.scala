@@ -23,7 +23,7 @@ class PipelineSpec extends AnyFunSuite {
   val sfDir = "/root/testdata/sf0.001"
 
   lazy val pages = Pages.fromDocuments(spark, sfDir).cache()
-  lazy val linked = Stages.linked(Stages.mentions(Stages.tokens(pages), spark), spark).cache()
+  lazy val linked = Stages.linked(Stages.mentions(pages, spark), spark).cache()
 
   test("pages: per-row invariant — text column equals extractor output over html") {
     val drift = pages.filter(
@@ -65,10 +65,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
-  test("mentions stage is shuffle-free (broadcast join only)") {
-    val plan = Stages.mentions(Stages.tokens(pages), spark)
+  test("mentions stage is fully in-row: no joins, no shuffle at all") {
+    import spark.implicits._
+    // hermetic in-memory input isolates the stage plan from ingest repartition
+    val raw = Seq((1L, "spark uses hash join on the table")).toDF("doc_id", "text")
+    val plan = Stages.mentions(raw, spark)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join, got:\n$plan")
-    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
   }
 }

@@ -26,7 +26,7 @@ class RunnerSpec extends AnyFunSuite {
     // written triples == canonicalized direct pipeline
     val written = spark.read.parquet(s"$out/triples")
       .select("doc_id", "subj", "pred", "obj")
-    val linked = Stages.linked(Stages.mentions(Stages.tokens(pages), spark), spark)
+    val linked = Stages.linked(Stages.mentions(pages, spark), spark)
     val direct = Canonicalize(
       pipeline.RelationScorer.extract(linked, spark).select("doc_id", "subj", "pred", "obj"),
       linked, spark)
@@ -86,7 +86,7 @@ class RunnerSpec extends AnyFunSuite {
       (1L, 0, 0, "spark", "Q1", "TECH"),
       (1L, 0, 2, "sparkle", "Q1", "TECH"),
       (1L, 0, 4, "table", "Q8", "ORG"))
-      .toDF("doc_id", "sent_id", "pos", "alias", "qid", "ner_type")
+      .toDF("doc_id", "sent_id", "pos_start", "alias", "qid", "ner_type")
     val triples = Seq((1L, "Q1", "P_part_of", "Q8"), (1L, "Q1", "P_x", "Q1"))
       .toDF("doc_id", "subj", "pred", "obj")
     val got = Canonicalize(triples, linked, spark).collect()
