@@ -107,9 +107,13 @@ object DocRED {
     val allVerts = docs.select(col("title"),
         posexplode(col("vertexSet")).as(Seq("vertex_id", "ms")))
       .select("title", "vertex_id")
-    val wNt = Window.orderBy(col("title").asc, col("vertex_id").asc)
-    val unlinked = allVerts.join(winners, Seq("title", "vertex_id"), "left_anti")
-      .withColumn("eid", concat(lit("NT"), row_number().over(wNt) - 1))
+    val unlinked0 = allVerts.join(winners, Seq("title", "vertex_id"), "left_anti")
+    // NT ids numbered densely in (title, vertex_id) order — two-phase
+    // assignment, not a single-partition global window (the unlinked set
+    // grows with the corpus)
+    val unlinked = graft.ops.DenseIds.globalDenseId(unlinked0, "nt_idx",
+        Seq(col("title").asc, col("vertex_id").asc))
+      .withColumn("eid", concat(lit("NT"), col("nt_idx")))
       .withColumn("linked", lit(false))
     winners.select(col("title"), col("vertex_id"), col("qid").as("eid"),
         lit(true).as("linked"))

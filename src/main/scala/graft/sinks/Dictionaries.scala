@@ -2,7 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import graft.ops.DenseIds
 
 /** Dense-id dictionary sinks (A3 / K2): entity2id and relation2id tables
   * assigned in deterministic first-seen order, mirroring
@@ -10,9 +10,10 @@ import org.apache.spark.sql.expressions.Window
   * processing order; we pin the equivalent deterministic order:
   * first-occurrence position, tie-broken by the id string).
   *
-  * Scale note: a global row_number window is a single-partition sort — fine
-  * for dictionary-sized outputs (entities/relations observed in the KG,
-  * ≤ millions), never applied to the document stream.
+  * Scale note: ids come from DenseIds.globalDenseId (two-phase range
+  * partition + offset assignment) — at 10^12 docs the entity dictionary is
+  * billions of rows, and a global row_number window would serialize them
+  * onto one task.
   */
 object Dictionaries {
 
@@ -22,8 +23,7 @@ object Dictionaries {
     val ents = triples.select(col("subj").as("entity"), col("doc_id"))
       .union(triples.select(col("obj").as("entity"), col("doc_id")))
       .groupBy("entity").agg(min(col("doc_id")).as("first_doc"))
-    ents.withColumn("id",
-      (row_number().over(Window.orderBy(col("first_doc").asc, col("entity").asc)) - 1).cast("long"))
+    DenseIds.globalDenseId(ents, "id", Seq(col("first_doc").asc, col("entity").asc))
       .select("entity", "id", "first_doc")
   }
 
@@ -31,8 +31,7 @@ object Dictionaries {
   def relation2id(triples: DataFrame): DataFrame = {
     val rels = triples.groupBy(col("pred").as("relation"))
       .agg(min(col("doc_id")).as("first_doc"))
-    rels.withColumn("id",
-      (row_number().over(Window.orderBy(col("first_doc").asc, col("relation").asc)) - 1).cast("long"))
+    DenseIds.globalDenseId(rels, "id", Seq(col("first_doc").asc, col("relation").asc))
       .select("relation", "id", "first_doc")
   }
 

@@ -19,8 +19,12 @@ object Vocab {
   def build(docs: DataFrame): DataFrame = {
     val counts = docs.select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    counts.withColumn("id",
-      row_number().over(Window.orderBy(col("freq").desc, col("word").asc)) + 1)
+    // two-phase id assignment: a web-scale vocabulary must never funnel
+    // through a single-partition global window
+    graft.ops.DenseIds.globalDenseId(counts, "id0",
+        Seq(col("freq").desc, col("word").asc))
+      .withColumn("id", (col("id0") + 2).cast("int")) // 0=PAD, 1=UNK reserved
+      .drop("id0")
       .withColumn("singleton", col("freq") <= 1)
   }
 

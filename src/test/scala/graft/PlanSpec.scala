@@ -45,6 +45,26 @@ class PlanSpec extends AnyFunSuite {
       s"quality scoring must be per-row projection only:\n$plan")
   }
 
+  test("two-phase dense ids == global-window ids, without a single-partition exchange") {
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.range(5000)
+      .select((col("id") % 997).as("k"), col("id"))
+      .groupBy("k").agg(min("id").as("first"))
+    val got = ops.DenseIds.globalDenseId(base, "id", Seq(col("first").asc, col("k").asc))
+    val want = base.withColumn("id",
+      (org.apache.spark.sql.functions.row_number()
+        .over(Window.orderBy(col("first").asc, col("k").asc)) - 1).cast("long"))
+    assert(got.select("k", "id").exceptAll(want.select("k", "id")).count() == 0)
+    assert(want.select("k", "id").exceptAll(got.select("k", "id")).count() == 0)
+    assert(!planOf(got).contains("SinglePartition"),
+      s"dense-id plan funnels through one partition:\n${planOf(got)}")
+    // and the production sink inherits the property
+    import spark.implicits._
+    val triples = Seq((1L, "Q1", "P_x", "Q2"), (2L, "Q3", "P_x", "Q1"))
+      .toDF("doc_id", "subj", "pred", "obj")
+    assert(!planOf(sinks.Dictionaries.entity2id(triples)).contains("SinglePartition"))
+  }
+
   test("salting spreads a hot key across partitions (measured, not assumed)") {
     import spark.implicits._
     val big = spark.range(20000).select(lit("hot").as("k"), col("id").as("v"))
