@@ -73,33 +73,37 @@ object DocRED {
     ents
   }
 
-  /** Entity linking with reference vote semantics. Candidates per mention:
-    * the in-doc `link` field (highest priority, prio = -1,
-    * gen_kg_data.py:278-279) plus the two-tier alias dictionary probed with
-    * the normalized mention name (T1). Vote per (title, vertex): candidate
-    * with most supporting mentions; ties → earliest mention, then prio,
-    * then qid. Unlinked vertices get NT ids numbered densely in
-    * (title, vertex_id) order. Returns (title, vertex_id, eid, linked). */
+  /** Entity linking with reference vote semantics
+    * (`ATLOP+KIRE/data/gen_kg_data.py:272-304`): each mention contributes
+    * exactly ONE candidate — its in-doc `link` id when present, else the
+    * RESOLVED dictionary id of its normalized name (the reference's
+    * label2kgids is single-valued: the two dictionary tiers are collapsed
+    * at build time, explicit map first — `gen_kg_data.py:74-87`; our
+    * resolvedAliases pins the same collapse). Vote per (title, vertex):
+    * Counter.most_common semantics — support desc, ties broken by first
+    * insertion = earliest contributing mention (distinct candidates first
+    * appear at distinct mentions, so this is total). Unlinked vertices get
+    * NT ids numbered densely in (title, vertex_id) order — the reference's
+    * global running counter in file order. Returns
+    * (title, vertex_id, eid, linked). */
   def linkEntities(docs: DataFrame, spark: SparkSession): DataFrame = {
     import graft.text.Normalize
+    import spark.implicits._
     val m = mentions(docs)
-    val dict = broadcast(graft.pipeline.Stages.aliasDict(spark))
-    val fromLink = m.filter(col("link").isNotNull)
-      .select(col("title"), col("vertex_id"), col("mention_idx"),
-        col("link").as("qid"), lit(-1).as("prio"))
-    val fromDict = m
+    val dict = broadcast(graft.pipeline.Stages.resolvedAliases
+      .map(r => (r._1, r._2)).toDF("alias", "dict_qid"))
+    val cands = m
       .withColumn("norm_name", Normalize.handleLabel(col("name")))
-      .join(dict, col("norm_name") === dict("alias"))
-      .select(col("title"), col("vertex_id"), col("mention_idx"), col("qid"), col("prio"))
-    val cands = fromLink.union(fromDict)
+      .join(dict, col("norm_name") === dict("alias"), "left")
+      .withColumn("qid", coalesce(col("link"), col("dict_qid")))
+      .filter(col("qid").isNotNull)
+      .select("title", "vertex_id", "mention_idx", "qid")
     val voted = cands
       .groupBy("title", "vertex_id", "qid")
       .agg(count(lit(1)).as("support"),
-        min(col("mention_idx")).as("first_mention"),
-        min(col("prio")).as("best_prio"))
+        min(col("mention_idx")).as("first_mention"))
     val w = Window.partitionBy("title", "vertex_id")
-      .orderBy(col("support").desc, col("first_mention").asc,
-        col("best_prio").asc, col("qid").asc)
+      .orderBy(col("support").desc, col("first_mention").asc)
     val winners = voted.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("title"), col("vertex_id"), col("qid"))

@@ -91,6 +91,34 @@ class DocREDSpec extends AnyFunSuite {
     assert(best.getAs[Long]("cum_correct") >= 4) // recalls all gold at best cut
   }
 
+  test("reference-agreement gate: 200-doc corpus gold triples, P/R >= 0.95") {
+    val corpus = getClass.getResource("/docred_corpus.jsonl").getPath
+    val expectedTsv = getClass.getResource("/docred_corpus_expected.tsv").getPath
+    val docs2 = DocRED.read(spark, corpus).cache()
+    val eids2 = DocRED.linkEntities(docs2, spark)
+    val got = DocRED.goldTriples(docs2, eids2)
+      .withColumnRenamed("title", "doc_id")
+    val expected = spark.read.option("header", "true").option("sep", "\t")
+      .csv(expectedTsv)
+      .withColumnRenamed("title", "doc_id")
+    val (p, r) = Evaluator.precisionRecall(got, expected)
+    assert(p >= 0.95 && r >= 0.95, s"P=$p R=$r")
+    // the vote + NT semantics are deterministic: agreement should be exact
+    assert(p == 1.0 && r == 1.0, s"P=$p R=$r")
+    // label vocabulary: every predicate is one of the 96 public DocRED
+    // relation ids
+    import graft.kb.DocREDVocab
+    assert(DocREDVocab.relations.size == 96)
+    assert(DocREDVocab.rel2id("NA") == 0 && DocREDVocab.rel2id("P17") == 2)
+    assert(DocREDVocab.ner2id.size == 6)
+    val preds = got.select("pred").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(DocREDVocab.relations.toSet), s"unknown relations: ${preds -- DocREDVocab.relations.toSet}")
+    // corpus is big enough to exercise NT fallback and multi-word linking
+    assert(expected.count() >= 200)
+    assert(expected.filter(col("subj").startsWith("NT") || col("obj").startsWith("NT")).count() > 0)
+    assert(eids2.filter(col("eid").isin("Q30", "Q31", "Q32", "Q33", "Q34")).count() > 0)
+  }
+
   test("distance buckets: exact edges (ladder == bit-twiddle impl)") {
     for (d <- Seq(0, 1, 2, 3, 4, 7, 8, 15, 16, 31, 32, 63, 64, 127, 128, 255, 256, 1000)) {
       val fromCol = spark.range(1).select(
