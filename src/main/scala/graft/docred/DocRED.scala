@@ -153,7 +153,11 @@ object DocRED {
       .agg(
         max(col("h_type")).as("h_type"), max(col("t_type")).as("t_type"),
         min(abs(col("h_sent") - col("t_sent"))).cast("int").as("min_sent_dist"),
-        sum(when(col("h_sent") === col("t_sent"), 1L).otherwise(0L)).as("n_cooc"))
+        sum(when(col("h_sent") === col("t_sent"), 1L).otherwise(0L)).as("n_cooc"),
+        // evidence = the co-occurrence sentences (the deterministic analog of
+        // the reference's predicted evidence set, `evaluation.py:143-146`)
+        sort_array(collect_set(when(col("h_sent") === col("t_sent"), col("h_sent"))))
+          .as("evidence"))
       .join(entityIds.select(col("title"), col("vertex_id").as("h"), col("eid").as("h_qid")),
         Seq("title", "h"))
       .join(entityIds.select(col("title"), col("vertex_id").as("t"), col("eid").as("t_qid")),

@@ -64,10 +64,11 @@ object RelationScorer {
 
   case class PairFeature(doc_id: Long, h_qid: String, h_type: String,
                          t_qid: String, t_type: String,
-                         min_sent_dist: Int, n_cooc: Long)
+                         min_sent_dist: Int, n_cooc: Long,
+                         evidence: Seq[Int])
 
   case class ScoredTriple(doc_id: Long, subj: String, pred: String,
-                          obj: String, score: Double)
+                          obj: String, score: Double, evidence: Seq[Int])
 
   /** Pair features from the linked-mention table: minimum sentence distance
     * between any mentions of h and t (A7, `ATLOP+KIRE/prepro.py:145-154`)
@@ -98,7 +99,10 @@ object RelationScorer {
           "aggregate(t_sents, 2147483647, (acc2, b) -> least(acc2, abs(a - b)))))").cast("int"))
       .withColumn("n_cooc", expr(
         "aggregate(h_sents, 0L, (acc, a) -> acc + size(filter(t_sents, b -> b = a)))").cast("long"))
-      .select("doc_id", "h_qid", "h_type", "t_qid", "t_type", "min_sent_dist", "n_cooc")
+      // evidence = distinct co-occurrence sentences, sorted (SO2 input)
+      .withColumn("evidence",
+        array_sort(array_distinct(array_intersect(col("h_sents"), col("t_sents")))))
+      .select("doc_id", "h_qid", "h_type", "t_qid", "t_type", "min_sent_dist", "n_cooc", "evidence")
   }
 
   /** The mapPartitions inference kernel. Weights are broadcast once;
@@ -119,7 +123,7 @@ object RelationScorer {
         logits.filter(_._2 > 0.0)
           .sortBy { case (r, s) => (-s, r) }
           .take(MaxLabels)
-          .map { case (r, s) => ScoredTriple(p.doc_id, p.h_qid, r, p.t_qid, s) }
+          .map { case (r, s) => ScoredTriple(p.doc_id, p.h_qid, r, p.t_qid, s, p.evidence) }
       }
     }.toDF()
   }

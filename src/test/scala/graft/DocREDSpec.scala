@@ -44,7 +44,7 @@ class DocREDSpec extends AnyFunSuite {
     // the typed row, keep the title alongside for comparison
     val withId = feats.withColumn("doc_id", xxhash64(col("doc_id_str")))
     val scored = RelationScorer.score(
-      withId.select("doc_id", "h_qid", "h_type", "t_qid", "t_type", "min_sent_dist", "n_cooc"),
+      withId.select("doc_id", "h_qid", "h_type", "t_qid", "t_type", "min_sent_dist", "n_cooc", "evidence"),
       spark)
     scored.join(
       withId.select(col("doc_id"), col("doc_id_str").as("title")).distinct(),
@@ -81,7 +81,7 @@ class DocREDSpec extends AnyFunSuite {
       .withColumnRenamed("title", "doc_id_str")
       .withColumn("doc_id", xxhash64(col("doc_id_str")))
     val scored = RelationScorer.score(
-      feats.select("doc_id", "h_qid", "h_type", "t_qid", "t_type", "min_sent_dist", "n_cooc"),
+      feats.select("doc_id", "h_qid", "h_type", "t_qid", "t_type", "min_sent_dist", "n_cooc", "evidence"),
       spark)
       .join(feats.select(col("doc_id"), col("doc_id_str")).distinct(), "doc_id")
       .drop("doc_id").withColumnRenamed("doc_id_str", "doc_id")
@@ -117,6 +117,57 @@ class DocREDSpec extends AnyFunSuite {
     assert(expected.count() >= 200)
     assert(expected.filter(col("subj").startsWith("NT") || col("obj").startsWith("NT")).count() > 0)
     assert(eids2.filter(col("eid").isin("Q30", "Q31", "Q32", "Q33", "Q34")).count() > 0)
+  }
+
+  test("K3 result.json round-trip: official sink reproduces kernel metrics") {
+    import graft.sinks.ResultJson
+    val out = java.nio.file.Files.createTempDirectory("graft_k3").toString + "/result.json"
+    val official = ResultJson.officialPredictions(docs, eids, spark)
+    ResultJson.write(official, out)
+    val back = ResultJson.read(spark, out)
+    // the file round-trips exactly
+    assert(back.count() == official.count())
+    assert(back.select("title", "h_idx", "t_idx", "r")
+      .exceptAll(official.select("title", "h_idx", "t_idx", "r")).count() == 0)
+    // mapping (h_idx, t_idx) through the voted entity ids reproduces the
+    // kernel triples — the parquet path and the official file agree
+    val mapped = back
+      .join(eids.select(col("title"), col("vertex_id").as("h_idx"), col("eid").as("subj")),
+        Seq("title", "h_idx"))
+      .join(eids.select(col("title"), col("vertex_id").as("t_idx"), col("eid").as("obj")),
+        Seq("title", "t_idx"))
+      .select(col("title"), col("subj"), col("r").as("pred"), col("obj")).distinct()
+    assert(mapped.exceptAll(kernelTriples).count() == 0,
+      s"official-only: ${mapped.exceptAll(kernelTriples).collect().mkString("; ")}")
+    assert(kernelTriples.exceptAll(mapped).count() == 0,
+      s"kernel-only: ${kernelTriples.exceptAll(mapped).collect().mkString("; ")}")
+    // and the Evaluator scores the two paths identically
+    val gold = DocRED.goldTriples(docs, eids).withColumnRenamed("title", "doc_id")
+      .withColumn("intrain", lit(false))
+    val a = Evaluator.score(mapped.withColumnRenamed("title", "doc_id"), gold).head
+    val b = Evaluator.score(kernelTriples.withColumnRenamed("title", "doc_id"), gold).head
+    assert(a == b)
+    // evidence survives the round-trip and feeds SO2 evidence scoring
+    assert(back.filter(size(col("evidence")) > 0).count() > 0,
+      "official predictions must carry evidence")
+    val predsEvi = back
+      .join(eids.select(col("title"), col("vertex_id").as("h_idx"), col("eid").as("subj")),
+        Seq("title", "h_idx"))
+      .join(eids.select(col("title"), col("vertex_id").as("t_idx"), col("eid").as("obj")),
+        Seq("title", "t_idx"))
+      .select(col("title").as("doc_id"), col("subj"), col("r").as("pred"),
+        col("obj"), col("evidence"))
+    val goldEvi = docs.select(col("title"), explode(col("labels")).as("l"))
+      .join(eids.select(col("title"), col("vertex_id").as("h"), col("eid").as("subj")),
+        Seq("title"))
+      .filter(col("l.h") === col("h"))
+      .join(eids.select(col("title"), col("vertex_id").as("t"), col("eid").as("obj")),
+        Seq("title"))
+      .filter(col("l.t") === col("t"))
+      .select(col("title").as("doc_id"), col("subj"), col("l.r").as("pred"),
+        col("obj"), col("l.evidence").as("evidence"))
+    val eviRow = Evaluator.evidenceScore(predsEvi, goldEvi).head
+    assert(eviRow.getAs[Long]("n_overlap") > 0, "evidence overlap must be non-trivial")
   }
 
   test("distance buckets: exact edges (ladder == bit-twiddle impl)") {

@@ -27,7 +27,7 @@ class DwieSpec extends AnyFunSuite {
     val eids = DocRED.linkEntities(docs, spark)
     val feats = DocRED.pairFeatures(docs, eids)
       .withColumn("doc_id", xxhash64(col("title")))
-      .select("doc_id", "h_qid", "h_type", "t_qid", "t_type", "min_sent_dist", "n_cooc")
+      .select("doc_id", "h_qid", "h_type", "t_qid", "t_type", "min_sent_dist", "n_cooc", "evidence")
     val triples = RelationScorer.score(feats, spark)
       .select("subj", "pred", "obj").distinct().collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
