@@ -625,9 +625,13 @@ object SparkEntry {
     "q_jaccard" -> s"""
       WITH $normDocsCte, $nearCorpusCte, $minhashCtes,
       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      kept AS (
+        SELECT doc_id, sh FROM (
+          SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh)
+        WHERE df <= ${graft.ops.Dedup.MaxShingleDf}),
       common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT c.doc_a, c.doc_b, c.n_common,
              CAST(c.n_common * 1000 // (sa.n_sh + sb.n_sh - c.n_common) AS BIGINT) AS jaccard_permille

@@ -107,6 +107,73 @@ object Evaluator {
         "p_permille", "r_permille", "is_best")
   }
 
+  /** Distributed per-bin counts for the binned sweep: marked predictions
+    * bucketed into `nBins` equal-width score bins, one aggregation — no
+    * window function, no single-partition funnel. */
+  private[graft] def binCounts(scored: DataFrame, gold: DataFrame,
+                               nBins: Int): (DataFrame, Long) = {
+    val g0 =
+      if (gold.columns.contains("intrain"))
+        gold.select((keyCols :+ coalesce(col("intrain"), lit(false)).as("intrain")): _*)
+      else gold.select(keyCols: _*).withColumn("intrain", lit(false))
+    val g = g0.groupBy("doc_id", "subj", "pred", "obj").agg(max(col("intrain")).as("intrain"))
+    val nGold = g.count()
+    val marked = scored
+      .join(g.withColumn("correct", lit(1L)), Seq("doc_id", "subj", "pred", "obj"), "left")
+      .withColumn("correct", coalesce(col("correct"), lit(0L)))
+      .withColumn("correct_ign",
+        when(col("correct") === 1L && !coalesce(col("intrain"), lit(false)), 1L).otherwise(0L))
+    val mm = marked.agg(min(col("score")).as("lo"), max(col("score")).as("hi")).head
+    if (mm.isNullAt(0)) return (marked.sparkSession.emptyDataFrame, nGold)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val span = if (hi > lo) hi - lo else 1.0
+    val binned = marked
+      .withColumn("bin",
+        least(lit(nBins - 1),
+          floor((col("score") - lit(lo)) / lit(span) * nBins)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("correct")).as("n_correct"),
+        sum(col("correct_ign")).as("n_correct_ign"),
+        min(col("score")).as("score_lo"))
+    (binned, nGold)
+  }
+
+  /** W2 at scale: the theta sweep over FIXED score bins instead of a global
+    * un-partitioned window. Pass 1 buckets + counts (distributed, one
+    * shuffle on ≤ nBins keys); the cumulative sums and the F1 argmax run
+    * driver-side over ≤ nBins rows. The returned cuts are bin boundaries —
+    * best-F1 agrees with the exact row-level sweep to within one bin's
+    * resolution (spec pins ≤ 1 permille on the fixture). */
+  def thetaSweepBinned(scored: DataFrame, gold: DataFrame,
+                       nBins: Int = 10000): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val (binned, nGold) = binCounts(scored, gold, nBins)
+    if (binned.columns.isEmpty)
+      return Seq.empty[(Int, Double, Long, Long, Long, Long, Long, Long, Boolean)]
+        .toDF("bin", "theta", "cum_n", "cum_correct", "cum_correct_ign",
+          "p_permille", "r_permille", "f1_permille", "is_best")
+    val rows = binned.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(-_._1) // highest scores first: descending bins
+    var (cn, cc, cci) = (0L, 0L, 0L)
+    val cuts = rows.map { case (bin, n, c, ci, scoreLo) =>
+      cn += n; cc += c; cci += ci
+      (bin, scoreLo, cn, cc, cci)
+    }
+    // argmax F1 = 2c/(i+G) by exact cross-multiplication; earliest cut wins ties
+    val best = cuts.maxBy { case (_, _, i, c, _) => (c.toDouble / (i + math.max(nGold, 1L)), -i) }
+    cuts.toSeq.map { case (bin, theta, i, c, ci) =>
+      (bin, theta, i, c, ci,
+        if (i == 0) 0L else c * 1000 / i,
+        if (nGold == 0) 0L else c * 1000 / nGold,
+        if (c == 0) 0L else c * 2000 / (i + nGold),
+        bin == best._1)
+    }.toDF("bin", "theta", "cum_n", "cum_correct", "cum_correct_ign",
+      "p_permille", "r_permille", "f1_permille", "is_best")
+  }
+
   /** M4: area under the PR curve by trapezoid rule over the sweep —
     * sklearn.metrics.auc equivalent (`GLRE+KIRE/nnet/trainer.py:644,668`).
     * Driver-side fold over the (small) sweep table, exact order. */

@@ -21,6 +21,7 @@ object Dedup {
   val NumHashes = 8      // minhash permutations
   val BandRows = 2       // rows per LSH band → 4 bands
   val ShingleSize = 3    // word n-gram width
+  val MaxShingleDf = 1000 // hot-shingle cap: document-frequency ceiling
 
   /** Exact dedup: md5 group, group size, canonical representative = min id.
     * The `keep` flag implements "first writer wins" dedup at scale. */
@@ -77,13 +78,24 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over shingle sets, integer permille, for pairs
-    * sharing at least one shingle. Shuffles on shingle (bounded frequency on
-    * natural text; a hot-shingle cap guards pathological corpora). */
-  def jaccardPairs(docs: DataFrame, minPermille: Int): DataFrame = {
+    * sharing at least one shingle. Shuffles on shingle.
+    *
+    * Hot-shingle cap (ENFORCED, not aspirational): a shingle present in
+    * > maxShingleDf documents — one viral sentence fragment shared by 1M
+    * docs — would emit O(df²) join rows. Such shingles are dropped from the
+    * pair JOIN only; set sizes keep the true cardinality, so capped pairs
+    * report a (slightly) conservative Jaccard rather than exploding the
+    * shuffle. The DuckDB oracle applies the identical cap. */
+  def jaccardPairs(docs: DataFrame, minPermille: Int,
+                   maxShingleDf: Int = MaxShingleDf): DataFrame = {
     val sh = shingles(docs).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("shingle"), col("doc_id").as("doc_a"))
-    val b = sh.select(col("shingle"), col("doc_id").as("doc_b"))
+    val kept = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+    val a = kept.select(col("shingle"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("shingle"), col("doc_id").as("doc_b"))
     val common = a.join(b, "shingle")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
@@ -98,21 +110,25 @@ object Dedup {
 
   /** 32-bit SimHash from md5 nibbles: bit i is the sign of the
     * count-weighted sum of tokens whose md5 hex digit i is >= '8'.
-    * Returned packed as a long via exact powers of two. */
-  def simhash(docs: DataFrame, spark: SparkSession): DataFrame = {
-    val tokCounts = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-    val bitIdx = broadcast(spark.range(32).select(col("id").cast("int").as("i")))
-    tokCounts.crossJoin(bitIdx)
-      .withColumn("contrib",
-        when(md5(col("tok").cast("binary")).substr(col("i") + 1, lit(1)) >= "8", col("cnt"))
-          .otherwise(-col("cnt")))
-      .groupBy("doc_id", "i")
-      .agg((sum(col("contrib")) > 0).cast("long").as("bit"))
-      .groupBy("doc_id")
-      .agg(sum(col("bit") * expr("CAST(pow(2, i) AS BIGINT)")).as("simhash"))
-  }
+    * Returned packed as a long via exact powers of two.
+    *
+    * Fully in-row: each token's md5 is computed once, then all 32 bit sums
+    * fold over the hash array — ONE projection, zero shuffles, zero row
+    * blowup (the count-weighted sum over distinct tokens equals the plain
+    * sum over occurrences, so no token-count map is needed). The previous
+    * formulation shuffled twice with a ×32 crossJoin expansion. */
+  def simhash(docs: DataFrame, spark: SparkSession): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("transform(split(text, ' '), t -> md5(cast(t as binary)))").as("hs"))
+      .select(col("doc_id"), expr(
+        """aggregate(
+             transform(sequence(0, 31), i ->
+               IF(aggregate(hs, CAST(0 AS BIGINT),
+                    (acc, h) -> acc + IF(substring(h, i + 1, 1) >= '8',
+                                         CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
+                  shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+             CAST(0 AS BIGINT), (acc, b) -> acc + b)""").as("simhash"))
 
   /** Hamming distance between two packed simhash longs (for near-dup pairing
     * on rotated-band keys — Scala-side helper + bit_count expression). */

@@ -51,6 +51,29 @@ class EvalExtrasSpec extends AnyFunSuite {
     assert(got == "4. Stranmillis Road x")
   }
 
+  test("W2 at scale: binned theta sweep matches the exact sweep within 1 permille") {
+    import spark.implicits._
+    // synthetic scored predictions: 200 rows, scores descending, gold = the
+    // top 60 plus 20 misses scattered lower
+    val scored = (0 until 200).map(i =>
+      (i.toLong, s"E$i", "P", s"F$i", 10.0 - i * 0.05)).toDF("doc_id", "subj", "pred", "obj", "score")
+    val gold = ((0 until 60) ++ (100 until 120)).map(i =>
+      (i.toLong, s"E$i", "P", s"F$i")).toDF("doc_id", "subj", "pred", "obj")
+    val exact = Evaluator.thetaSweep(scored, gold).filter(col("is_best")).head
+    val exactF1 = 2.0 * exact.getAs[Long]("cum_correct") / (exact.getAs[Long]("i") + 80.0)
+    val binned = Evaluator.thetaSweepBinned(scored, gold, nBins = 10000)
+      .filter(col("is_best")).head
+    val binnedF1 = binned.getAs[Long]("f1_permille") / 1000.0
+    assert(math.abs(binnedF1 - exactF1) <= 0.001,
+      s"binned best F1 $binnedF1 vs exact $exactF1")
+    // the distributed pass is a plain aggregation: no window, no
+    // single-partition exchange anywhere in its plan
+    val (bins, _) = Evaluator.binCounts(scored, gold, 10000)
+    val plan = bins.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-partition funnel:\n$plan")
+    assert(!plan.contains("Window"), s"window in binned sweep:\n$plan")
+  }
+
   test("P10: lang filter restricts the runner's input") {
     val out = java.nio.file.Files.createTempDirectory("graft_lang").toString
     val pages = graft.sources.Pages.fromDocuments(spark, "/root/testdata/sf0.001")

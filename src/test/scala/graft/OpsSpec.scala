@@ -39,6 +39,33 @@ class OpsSpec extends AnyFunSuite {
     assert(planted.count() == nInjected)
   }
 
+  test("hot-shingle cap drops viral shingles from the join, keeps true pairs") {
+    import spark.implicits._
+    // 30 docs all sharing one viral shingle; docs 0/1 also share unique text
+    val viral = "breaking news today"
+    val rows = (0 until 30).map { i =>
+      val uniq = if (i <= 1) "alpha beta gamma delta epsilon zeta"
+                 else s"u$i v$i w$i x$i y$i z$i"
+      (i.toLong, s"$viral $uniq")
+    }
+    val df = rows.toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(df, 300, maxShingleDf = 10).cache()
+    // only the genuinely-similar pair survives; the viral-only pairs are gone
+    assert(capped.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((0L, 1L)))
+    // uncapped: the viral shingle alone creates 30·29/2 candidate pairs
+    val uncapped = Dedup.jaccardPairs(df, 0, maxShingleDf = 1000)
+    assert(uncapped.count() == 435)
+  }
+
+  test("simhash is a pure projection: zero shuffles, zero row blowup") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Dedup.simhash(df, spark).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"simhash must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"simhash must not join:\n$plan")
+  }
+
   test("simhash: hamming distance between near-dups is small, random pairs large") {
     val corpus = Corpora.withNearDups(docs)
     val sh = Dedup.simhash(corpus, spark).cache()
