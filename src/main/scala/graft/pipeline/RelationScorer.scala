@@ -49,9 +49,12 @@ object RelationScorer {
       .when(d < 128, 7).when(d < 256, 8).otherwise(9)
       .cast("int")
 
-  /** Fixture weights: (hType, tType, rel) → logit contribution. */
+  /** Fixture weights: (hType, tType, rel) → logit contribution. wPool scales
+    * the pooled-vector dot product in the A9 vector path (0.0 in the fixture
+    * so the decode stays provably identical to the rule table; real model
+    * weights plug in here the day real mention encoders arrive). */
   case class Weights(typePair: Map[(String, String, String), Double],
-                     wDist: Double, wCooc: Double)
+                     wDist: Double, wCooc: Double, wPool: Double = 0.0)
 
   def fixtureWeights: Weights = {
     val ruleSet = Gazetteer.relRules.toSet
@@ -59,7 +62,7 @@ object RelationScorer {
     val all = for {
       h <- types; t <- types; r <- relations
     } yield (h, t, r) -> (if (ruleSet.contains((h, t, r))) 2.0 else -2.0)
-    Weights(all.toMap, wDist = -0.05, wCooc = 0.1)
+    Weights(all.toMap, wDist = -0.05, wCooc = 0.1, wPool = 0.0)
   }
 
   case class PairFeature(doc_id: Long, h_qid: String, h_type: String,
@@ -139,6 +142,83 @@ object RelationScorer {
     val feats = pairFeatures(linked).filter(col("n_cooc") >= 1)
     val ordered = if (lengthSorted) feats.sortWithinPartitions(col("n_cooc").desc) else feats
     score(ordered, spark)
+  }
+
+  // ------------------------------------------------- A9 vector pooling path
+
+  case class PooledPairFeature(doc_id: Long, h_qid: String, h_type: String,
+                               t_qid: String, t_type: String,
+                               min_sent_dist: Int, n_cooc: Long,
+                               evidence: Seq[Int],
+                               h_pool: Seq[Double], t_pool: Seq[Double])
+
+  /** Deterministic per-mention pseudo-embedding from span geometry — the
+    * stand-in carrying the SHAPE of real mention-encoder outputs. */
+  def mentionVec: org.apache.spark.sql.Column =
+    array(col("sent_id").cast("double"),
+      log1p(col("pos_start").cast("double")),
+      (col("pos_end") - col("pos_start") + 1).cast("double"))
+
+  /** Element-wise logsumexp pooling as an untyped aggregate column. */
+  val lsePool = udaf(graft.functions.VectorLogSumExp)
+
+  /** pairFeatures + per-entity pooled mention vectors (A9's real shape: the
+    * reference collapses mention embedding VECTORS into one entity vector
+    * via logsumexp, `ATLOP+KIRE/model.py:74-98`). Pooling happens in the
+    * same (doc, qid) aggregation as the sentence lists — map-side
+    * combinable, merge-safe (VectorLogSumExpSpec). */
+  def pooledPairFeatures(linked: DataFrame): DataFrame = {
+    val docEnts = linked
+      .withColumn("mvec", mentionVec)
+      .groupBy(col("doc_id"), col("qid"), col("ner_type"))
+      .agg(collect_list(col("sent_id")).as("sents"), lsePool(col("mvec")).as("pool"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("qid"), col("ner_type"), col("sents"), col("pool"))).as("ents"))
+    docEnts
+      .select(col("doc_id"), explode(col("ents")).as("h"), col("ents"))
+      .select(col("doc_id"), col("h"), explode(col("ents")).as("t"))
+      .filter(col("h.qid") =!= col("t.qid"))
+      .select(col("doc_id"),
+        col("h.qid").as("h_qid"), col("h.ner_type").as("h_type"), col("h.sents").as("h_sents"),
+        col("h.pool").as("h_pool"),
+        col("t.qid").as("t_qid"), col("t.ner_type").as("t_type"), col("t.sents").as("t_sents"),
+        col("t.pool").as("t_pool"))
+      .withColumn("min_sent_dist", expr(
+        "aggregate(h_sents, 2147483647, (acc, a) -> least(acc, " +
+          "aggregate(t_sents, 2147483647, (acc2, b) -> least(acc2, abs(a - b)))))").cast("int"))
+      .withColumn("n_cooc", expr(
+        "aggregate(h_sents, 0L, (acc, a) -> acc + size(filter(t_sents, b -> b = a)))").cast("long"))
+      .withColumn("evidence",
+        array_sort(array_distinct(array_intersect(col("h_sents"), col("t_sents")))))
+      .select("doc_id", "h_qid", "h_type", "t_qid", "t_type",
+        "min_sent_dist", "n_cooc", "evidence", "h_pool", "t_pool")
+  }
+
+  /** Kernel over pooled features: adds w.wPool · ⟨h_pool, t_pool⟩ to every
+    * logit. With the fixture weights (wPool = 0) the decode is identical to
+    * `score` — pinned in VectorLogSumExpSpec. */
+  def scorePooled(features: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val bw = spark.sparkContext.broadcast(fixtureWeights)
+    val rels = relations
+    features.as[PooledPairFeature].mapPartitions { it =>
+      val w = bw.value
+      it.flatMap { p =>
+        val n = math.min(p.h_pool.length, p.t_pool.length)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += p.h_pool(i) * p.t_pool(i); i += 1 }
+        val logits = rels.map { r =>
+          val base = w.typePair.getOrElse((p.h_type, p.t_type, r), -2.0)
+          r -> (base + w.wDist * disBucket(p.min_sent_dist) +
+            w.wCooc * math.log1p(p.n_cooc.toDouble) + w.wPool * dot)
+        }
+        logits.filter(_._2 > 0.0)
+          .sortBy { case (r, s) => (-s, r) }
+          .take(MaxLabels)
+          .map { case (r, s) => ScoredTriple(p.doc_id, p.h_qid, r, p.t_qid, s, p.evidence) }
+      }
+    }.toDF()
   }
 
   /** M2: sigmoid on raw scores (`ATLOP+KIRE/data/gen_coref_data.py:30-31`). */
