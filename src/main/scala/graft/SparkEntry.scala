@@ -190,6 +190,12 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       ops.TextAnalysis.fingerprint(ops.Corpora.normDocs(s, dir)).orderBy(col("doc_id"))),
 
+    // B4 char2id dictionary (char frequencies + dense ids, 0=BLANK 1=UNK)
+    "q_char_vocab" -> ((s, dir) =>
+      text.Vocab.buildChars(ops.Corpora.normDocs(s, dir))
+        .select(col("ch"), col("freq"), col("id"))
+        .orderBy(col("id"))),
+
     "q_vocab" -> ((s, dir) =>
       ops.Corpora.normDocs(s, dir)
         .select(explode(split(col("text"), " ")).as("tok"))
@@ -553,6 +559,19 @@ object SparkEntry {
       WITH $normDocsCte
       SELECT doc_id, md5(text) AS md5, substring(md5(text), 1, 16) AS fp64
       FROM norm_docs ORDER BY doc_id""",
+
+    "q_char_vocab" -> s"""
+      WITH $normDocsCte,
+      chars AS (
+        SELECT lower(c) AS ch FROM (
+          SELECT unnest(list_transform(range(strlen(text)),
+                        i -> substring(text, CAST(i + 1 AS INT), 1))) AS c
+          FROM norm_docs)
+        WHERE c <> ' ' AND c <> ''),
+      counts AS (SELECT ch, COUNT(*) AS freq FROM chars GROUP BY ch)
+      SELECT ch, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, ch ASC) + 1 AS INT) AS id
+      FROM counts ORDER BY id""",
 
     "q_vocab" -> s"""
       WITH $normDocsCte

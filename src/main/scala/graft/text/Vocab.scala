@@ -36,4 +36,36 @@ object Vocab {
       transform(split(col("text"), " "),
         t => coalesce(element_at(m, t), lit(UnkId))))
   }
+
+  // -------------------------------------------------- char-level (B4 char2id)
+
+  val CharLimit = 16 // B4 char_limit (`B4+KIRE/gen_data.py:148,165-167`)
+
+  /** Char vocabulary by frequency (ids 0=BLANK pad, 1=UNK reserved), built
+    * over the lowercased non-space characters of the corpus — the B4
+    * char2id dictionary. Scale-safe two-phase id assignment. */
+  def buildChars(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(split(lower(col("text")), "")).as("ch"))
+      .filter(col("ch") =!= " " && col("ch") =!= "")
+      .groupBy("ch").agg(count(lit(1)).as("freq"))
+    graft.ops.DenseIds.globalDenseId(counts, "id0",
+        Seq(col("freq").desc, col("ch").asc))
+      .withColumn("id", (col("id0") + 2).cast("int"))
+      .drop("id0")
+  }
+
+  /** Per-word char-id tensors (`B4+KIRE/gen_data.py:158-167`): each token
+    * lowercased, its first `charLimit` chars mapped through char2id with UNK
+    * default, BLANK(0)-padded to exactly charLimit. Pure HOFs — in-row. */
+  def encodeChars(docs: DataFrame, char2id: Map[String, Int],
+                  charLimit: Int = CharLimit): DataFrame = {
+    val m = typedLit(char2id)
+    docs.withColumn("char_ids",
+      transform(split(lower(col("text")), " "), w =>
+        transform(sequence(lit(1), lit(charLimit)), i =>
+          when(i <= length(w),
+            coalesce(element_at(m, w.substr(i, lit(1))), lit(UnkId)))
+            .otherwise(lit(PadId)))))
+  }
 }

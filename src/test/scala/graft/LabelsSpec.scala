@@ -60,6 +60,25 @@ class LabelsSpec extends AnyFunSuite {
     assert(enc2 == Seq(2, Vocab.UnkId))
   }
 
+  test("B4 char2id: vocab by char frequency; per-word tensors truncate, pad, UNK") {
+    import spark.implicits._
+    val d = Seq((1L, "Aba cc")).toDF("doc_id", "text")
+    // lowercased char counts: "aba" -> a=2, b=1; "cc" -> c=2
+    val cv = Vocab.buildChars(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(cv("a") == ((2L, 2)))  // most frequent, ties by char asc
+    assert(cv("c") == ((2L, 3)))
+    assert(cv("b") == ((1L, 4)))
+    val char2id = cv.map { case (k, v) => k -> v._2 }
+    val enc = Vocab.encodeChars(d, char2id, charLimit = 4).head.getSeq[scala.collection.Seq[Int]](2)
+    assert(enc(0) == Seq(2, 4, 2, 0))        // "aba" + BLANK pad
+    assert(enc(1) == Seq(3, 3, 0, 0))        // "cc" + pads
+    // truncation at charLimit + UNK for unseen chars
+    val enc2 = Vocab.encodeChars(Seq((1L, "abcdef")).toDF("doc_id", "text"),
+      Map("a" -> 2, "b" -> 3), charLimit = 3).head.getSeq[scala.collection.Seq[Int]](2)
+    assert(enc2(0) == Seq(2, 3, Vocab.UnkId))
+  }
+
   test("S3: PubTator scan groups title/abstract/entities/relations by pmid") {
     import spark.implicits._
     val lines = Seq(
