@@ -43,19 +43,28 @@ object Stages {
     * assigns dense ids without any window or shuffle. */
   def sentences(pages: DataFrame): DataFrame = {
     val chunk = Gazetteer.SentenceChunk
+    // Performance shape: higher-order functions evaluate INTERPRETED, with
+    // no common-subexpression elimination — a lambda body re-evaluates its
+    // captured child expressions on every element. Any array used more than
+    // once (or inside a lambda) is therefore LET-BOUND via the
+    // single-element-transform trick `transform(array(X), x -> body)`,
+    // which evaluates X exactly once per row and binds it as a variable.
+    // Boundary detection compares the last character (no per-token regex).
     pages
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("bidx", expr(
-        s"filter(sequence(0, size(toks) - 1), i -> element_at(toks, i + 1) rlike '$BoundaryRegex')"))
       .withColumn("spans", expr(s"""
-        flatten(transform(
-          filter(zip_with(concat(array(0), transform(bidx, b -> b + 1)),
-                          concat(bidx, array(size(toks) - 1)),
-                          (s, e) -> struct(s AS st, e AS en)),
-                 p -> p.st <= p.en),
-          p -> transform(sequence(0, (p.en - p.st) div $chunk),
-                 c -> struct(CAST(p.st + c * $chunk AS INT) AS st,
-                             CAST(least(p.st + c * $chunk + ${chunk - 1}, p.en) AS INT) AS en))))"""))
+        element_at(transform(array(
+            filter(sequence(0, size(toks) - 1),
+                   i -> substring(element_at(toks, i + 1), -1, 1) IN ('.', '!', '?', ';'))),
+          bidx ->
+            flatten(transform(
+              filter(zip_with(concat(array(0), transform(bidx, b -> b + 1)),
+                              concat(bidx, array(size(toks) - 1)),
+                              (s, e) -> struct(s AS st, e AS en)),
+                     p -> p.st <= p.en),
+              p -> transform(sequence(0, (p.en - p.st) div $chunk),
+                     c -> struct(CAST(p.st + c * $chunk AS INT) AS st,
+                                 CAST(least(p.st + c * $chunk + ${chunk - 1}, p.en) AS INT) AS en))))), 1)"""))
       .select(col("doc_id"), col("toks"), posexplode(col("spans")).as(Seq("sent_id", "span")))
       .select(col("doc_id"), col("sent_id").cast("int").as("sent_id"),
         col("span.st").as("st"), col("span.en").as("en"),
@@ -91,36 +100,51 @@ object Stages {
     *    partially-overlapping maximal matches both survive. Containment
     *    implies same-sentence, so per-sentence suppression is exact per-doc.
     *
-    * `dict` is a map literal (phrase → anything non-null); membership and
-    * suppression run in-row — zero shuffle. */
-  def sentenceMentions(sents: DataFrame, dict: Column): DataFrame = {
-    val lens = Gazetteer.aliasLens.mkString(", ")
-    sents
-      .withColumn("cands", expr(s"""
-        filter(
-          flatten(transform(array($lens), L ->
-            transform(sequence(0, size(stoks) - 1),
-              i -> struct(CAST(st + i AS INT) AS ps,
-                          CAST(st + i + L - 1 AS INT) AS pe,
-                          concat_ws(' ', slice(stoks, i + 1, L)) AS phrase)))),
-          c -> c.pe <= en)"""))
-      .withColumn("cands", filter(col("cands"),
-        c => element_at(dict, c.getField("phrase")).isNotNull))
-      .withColumn("ments", filter(col("cands"), c =>
-        !exists(col("cands"), o =>
-          o.getField("ps") <= c.getField("ps") && o.getField("pe") >= c.getField("pe") &&
-            (o.getField("pe") - o.getField("ps")) > (c.getField("pe") - c.getField("ps")))))
-      .drop("cands")
+    * The alias set rides in the plan as a generated map literal; candidate
+    * construction, membership, and suppression run in-row — zero shuffle. */
+  def sentenceMentions(sents: DataFrame): DataFrame = {
+    // SQL map literals generated from the Gazetteer (keys are plain words).
+    def sqlMap(keys: Seq[String]): String =
+      keys.distinct.sorted.map(k => s"'${k.replace("'", "''")}', 1")
+        .mkString("map(", ", ", ")")
+    val aliasSet = sqlMap(Gazetteer.aliases.map(_._1))
+    // L = 1: the candidate phrase IS the token — membership probe only, no
+    // slicing or string building.
+    val single = s"""filter(transform(sequence(0, size(stoks) - 1),
+          i -> struct(CAST(st + i AS INT) AS ps, CAST(st + i AS INT) AS pe,
+                      element_at(stoks, i + 1) AS phrase)),
+        c -> element_at($aliasSet, c.phrase) IS NOT NULL)"""
+    // L >= 2: phrase construction is PRUNED by a first-token probe — the
+    // (slice + concat) work only happens at positions that can start an
+    // L-token alias, which on web text is a tiny fraction of positions.
+    val multi = Gazetteer.aliasLens.filter(_ >= 2).map { l =>
+      val firstToks = Gazetteer.aliases.map(_._1.split(" "))
+        .filter(_.length == l).map(_.head)
+      s"""filter(transform(sequence(0, size(stoks) - 1),
+            i -> IF(element_at(${sqlMap(firstToks)}, element_at(stoks, i + 1)) IS NOT NULL
+                    AND i + $l <= size(stoks),
+                    struct(CAST(st + i AS INT) AS ps, CAST(st + i + ${l - 1} AS INT) AS pe,
+                           concat_ws(' ', slice(stoks, i + 1, $l)) AS phrase),
+                    CAST(NULL AS STRUCT<ps: INT, pe: INT, phrase: STRING>))),
+          c -> c IS NOT NULL AND element_at($aliasSet, c.phrase) IS NOT NULL)"""
+    }
+    val allCands = (single +: multi).mkString("concat(", ", ", ")")
+    // LET-BIND the matched candidates (see sentences() note): the exists()
+    // inside the suppression lambda must scan a bound VALUE — referencing
+    // the expression directly would regenerate every candidate for every
+    // element (k× the whole candidate pipeline, interpreted).
+    val ments = expr(s"""
+      element_at(transform(array($allCands), cs ->
+        filter(cs, c -> NOT exists(cs, o ->
+          o.ps <= c.ps AND o.pe >= c.pe AND o.pe - o.ps > c.pe - c.ps))), 1)""")
+    sents.withColumn("ments", ments)
   }
-
-  private def aliasMembership: Column =
-    typedLit(Gazetteer.aliases.map(_._1 -> 1).toMap)
 
   /** Mention detection: span-based multi-token gazetteer matching.
     * Output: (doc_id, sent_id, pos_start, pos_end, alias). In-row matching
     * + suppression, then one explode — no joins, no shuffle. */
   def mentions(pages: DataFrame, spark: SparkSession): DataFrame =
-    sentenceMentions(sentences(pages), aliasMembership)
+    sentenceMentions(sentences(pages))
       .select(col("doc_id"), col("sent_id"), explode(col("ments")).as("m"))
       .select(col("doc_id"), col("sent_id"),
         col("m.ps").as("pos_start"), col("m.pe").as("pos_end"),
@@ -217,7 +241,7 @@ object Stages {
   def extractTriplesFused(pages: DataFrame, spark: SparkSession): DataFrame = {
     val aliasMap = typedLit(resolvedAliases.map(r => r._1 -> (r._2 + "|" + r._3)).toMap)
     val ruleMap = typedLit(Gazetteer.relRules.map(r => (r._1 + "|" + r._2) -> r._3).toMap)
-    sentenceMentions(sentences(pages), aliasMap)
+    sentenceMentions(sentences(pages))
       .withColumn("ents", array_sort(array_distinct(
         transform(col("ments"), m => element_at(aliasMap, m.getField("phrase"))))))
       .filter(size(col("ents")) >= 2)
