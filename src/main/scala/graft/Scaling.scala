@@ -46,6 +46,12 @@ object Scaling {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // split sizing is a property of the DATA too: the default 128 MB
+      // bin-packing collapses the ~400 MB corpus into ~8 splits, starving
+      // any level above 8 cores. 8 MB splits give every level the same
+      // ~100-task scan — the cluster equivalent of Iceberg's split planning.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -57,23 +63,28 @@ object Scaling {
   def materializedCorpus(spark: SparkSession, sfDir: String): String = {
     val path = s"/tmp/graft_scaling_corpus_r${Replicas}_${sfDir.replaceAll("[^a-z0-9.]", "_")}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      // fixed file count: the corpus layout must not depend on which
+      // parallelism level happened to materialize it first
       replicatedPages(spark, sfDir)
         .select("doc_id", "url", "html", "lang")
+        .repartition(128)
         .write.mode("overwrite").parquet(path)
     }
     path
   }
 
-  /** One timed end-to-end extraction over the production (fused) path:
+  /** One timed end-to-end extraction over the production path:
     * pages parquet scan → extract html→text (native expression) →
-    * tokenize/link/pair/classify in-row → global dedup. */
+    * mapPartitions mention/link/pair/classify kernel (north_star shape;
+    * pinned row-identical to the declarative fused path in FusedSpec) →
+    * global dedup. */
   def runOnce(spark: SparkSession, sfDir: String): (Long, Long, Double) = {
     val corpus = materializedCorpus(spark, sfDir)
     val nDocs = spark.read.parquet(corpus).count()
     val t0 = System.nanoTime()
     val pages = spark.read.parquet(corpus)
       .withColumn("text", graft.functions.ExtractHtmlText(col("html")))
-    val nTriples = Stages.extractTriplesFused(pages, spark).count()
+    val nTriples = Stages.extractTriplesKernel(pages, spark).count()
     val secs = (System.nanoTime() - t0) / 1e9
     (nDocs, nTriples, secs)
   }

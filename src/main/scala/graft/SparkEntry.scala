@@ -124,10 +124,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q_triples" -> ((s, dir) => {
-      // fused single-shuffle path; staged-path equivalence is pinned by
-      // FusedSpec and both share this oracle
+      // fused single-shuffle declarative path; staged-path equivalence is
+      // pinned by FusedSpec and both share this oracle
       val pages = Pages.fromDocuments(s, dir)
       Stages.extractTriplesFused(pages, s)
+        .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
+    }),
+    "q_triples_kernel" -> ((s, dir) => {
+      // the mapPartitions production kernel (north_star execution model) —
+      // same oracle as q_triples, independently verified
+      val pages = Pages.fromDocuments(s, dir)
+      Stages.extractTriplesKernel(pages, s)
         .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
     }),
 
@@ -426,6 +433,11 @@ object SparkEntry {
       SELECT doc_id, COUNT(*) AS n_pairs, COUNT(DISTINCT h_qid) AS n_entities
       FROM prs GROUP BY 1 ORDER BY 1""",
     "q_triples" -> s"""
+      WITH $kbCtes
+      SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
+      FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type
+      ORDER BY 1, 2, 3, 4""",
+    "q_triples_kernel" -> s"""
       WITH $kbCtes
       SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
       FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type

@@ -230,6 +230,93 @@ object Stages {
     }
   }
 
+  /** mapPartitions production kernel (the north_star's "batched mention
+    * detection per document-partition with pre-broadcast dictionaries"):
+    * sentence split, phrase match, suppression, link, pair-gen, and rule
+    * classification in plain Scala over broadcast dictionaries — one
+    * deserialization per partition, rows streamed, the final global dedup
+    * the ONLY shuffle (same topology as extractTriplesFused, minus the
+    * interpreted-HOF evaluation overhead: real hash maps, no per-element
+    * Catalyst eval). Output identical to extractTriplesFused /
+    * extractTriples — pinned in FusedSpec and by the shared q_triples
+    * oracle semantics. */
+  def extractTriplesKernel(pages: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // dictionary keyed by FIRST token; candidates carry the remaining
+    // tokens so multi-word matching is token-by-token comparison — no
+    // slice/concat allocation per probe (the kernel is bandwidth-bound at
+    // high core counts; string building was the dominant allocation)
+    val byFirstB = spark.sparkContext.broadcast(
+      resolvedAliases
+        .map { case (alias, qid, tpe) =>
+          val ts = alias.split(" "); ts.head -> (ts.drop(1), qid, tpe) }
+        .groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).sortBy(-_._1.length).toArray })
+    val rulesB = spark.sparkContext.broadcast(
+      Gazetteer.relRules.map(r => (r._1, r._2) -> r._3).toMap)
+    val chunk = Gazetteer.SentenceChunk
+    val boundary = Set('.', '!', '?', ';')
+    pages.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val byFirst = byFirstB.value
+        val rules = rulesB.value
+        it.flatMap { case (docId, text) =>
+          val toks = text.split(" ", -1)
+          // sentence spans: terminal punctuation + chunk-cap subdivision
+          val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var segStart = 0
+          var i = 0
+          while (i < toks.length) {
+            val t = toks(i)
+            if (t.nonEmpty && boundary(t.charAt(t.length - 1))) {
+              var s = segStart
+              while (s <= i) { spans += ((s, math.min(s + chunk - 1, i))); s += chunk }
+              segStart = i + 1
+            }
+            i += 1
+          }
+          if (segStart <= toks.length - 1) {
+            var s = segStart
+            while (s <= toks.length - 1) {
+              spans += ((s, math.min(s + chunk - 1, toks.length - 1))); s += chunk
+            }
+          }
+          // per sentence: maximal dictionary matches → entity set → pairs.
+          // Per-doc LinkedHashSet dedup makes the output globally distinct
+          // (doc_id is part of the key) — NO downstream distinct/shuffle.
+          val out = scala.collection.mutable.LinkedHashSet.empty[(String, String, String)]
+          val cands = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String)]
+          spans.foreach { case (st, en) =>
+            cands.clear()
+            var p = st
+            while (p <= en) {
+              val hits = byFirst.getOrElse(toks(p), null)
+              if (hits != null) hits.foreach { case (rest, qid, tpe) =>
+                if (p + rest.length <= en) {
+                  var k = 0
+                  while (k < rest.length && rest(k) == toks(p + 1 + k)) k += 1
+                  if (k == rest.length) cands += ((p, p + rest.length, qid, tpe))
+                }
+              }
+              p += 1
+            }
+            val maximal = cands.filterNot { c =>
+              cands.exists(o => o._1 <= c._1 && o._2 >= c._2 && (o._2 - o._1) > (c._2 - c._1))
+            }
+            val ents = maximal.map(m => (m._3, m._4)).distinct
+            ents.foreach { h =>
+              ents.foreach { t =>
+                if (h._1 != t._1)
+                  rules.get((h._2, t._2)).foreach(pred => out += ((h._1, pred, t._1)))
+              }
+            }
+          }
+          out.iterator.map { case (s, pr, o) => (docId, s, pr, o) }
+        }
+      }
+      .toDF("doc_id", "subj", "pred", "obj")
+  }
+
   /** Fused pages → triples: all per-document work (sentence split, phrase
     * match, suppression, link, pair-gen, rule classify) happens in-row via
     * higher-order functions and two literal maps baked into the plan — the

@@ -32,6 +32,24 @@ class FusedSpec extends AnyFunSuite {
       "fused path must not join at all")
   }
 
+  test("mapPartitions kernel == fused HOF path, row for row") {
+    val pages = Pages.fromDocuments(spark, sfDir).cache()
+    val kernel = Stages.extractTriplesKernel(pages, spark)
+    val fused = Stages.extractTriplesFused(pages, spark)
+    assert(kernel.exceptAll(fused).count() == 0)
+    assert(fused.exceptAll(kernel).count() == 0)
+    // and on punctuated multi-sentence text with multi-word aliases
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "spark uses sort merge join. customer likes merge join order."),
+      (2L, "hash. join table scan batch"),
+      (3L, (0 until 40).map(i => if (i == 15) "hash" else if (i == 16) "join" else "x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val k2 = Stages.extractTriplesKernel(tricky, spark)
+    val f2 = Stages.extractTriplesFused(tricky, spark)
+    assert(k2.exceptAll(f2).count() == 0 && f2.exceptAll(k2).count() == 0)
+  }
+
   test("resolved dictionary matches the relational vote winners") {
     val pages = Pages.fromDocuments(spark, sfDir)
     val relational = Stages.linked(Stages.mentions(pages, spark), spark)
