@@ -30,7 +30,7 @@ object SparkEntry {
     * the full pages → triples pipeline. */
   def entry(spark: SparkSession): DataFrame = {
     val pages = Pages.fromDocuments(spark, "/root/testdata/sf0.001")
-    Stages.extractTriplesFused(pages, spark)
+    Stages.extractTriplesKernel(pages, spark)
   }
 
   // ---------------------------------------------------------------- queries
@@ -140,22 +140,22 @@ object SparkEntry {
 
     // -- KG enrichment / coref / canonicalization / kernel / eval --
     "q_kg_onehop" -> ((s, dir) => {
-      val linked = Stages.linkedFast(Stages.mentions(Pages.fromDocuments(s, dir), s), s)
+      val linked = Stages.linkedFast(Stages.mentionsKernel(Pages.fromDocuments(s, dir), s), s)
       pipeline.Enrich.oneHop(linked, s)
         .orderBy(col("doc_id"), col("h"), col("r"), col("t"))
     }),
     "q_kg_attrs" -> ((s, dir) => {
-      val linked = Stages.linkedFast(Stages.mentions(Pages.fromDocuments(s, dir), s), s)
+      val linked = Stages.linkedFast(Stages.mentionsKernel(Pages.fromDocuments(s, dir), s), s)
       pipeline.Enrich.attributes(linked, s).orderBy(col("qid"))
     }),
     "q_coref_top8" -> ((s, dir) => {
-      val ments = Stages.mentions(Pages.fromDocuments(s, dir), s)
+      val ments = Stages.mentionsKernel(Pages.fromDocuments(s, dir), s)
       pipeline.Coref.aliasCoref(ments)
         .select("doc_id", "alias", "p1", "p2", "dist", "rank")
         .orderBy(col("doc_id"), col("alias"), col("p1"), col("rank"))
     }),
     "q_dis_bucket" -> ((s, dir) => {
-      val ments = Stages.mentions(Pages.fromDocuments(s, dir), s)
+      val ments = Stages.mentionsKernel(Pages.fromDocuments(s, dir), s)
       pipeline.Coref.distanceHistogram(pipeline.Coref.aliasCoref(ments))
         .orderBy(col("bucket"))
     }),
@@ -163,7 +163,7 @@ object SparkEntry {
       // per-doc graphs are tiny → exact CC via partition-local union-find
       // (one shuffle); the iterative labelPropagation variant covers graphs
       // too big for one task and is pinned equal in ComponentsSpec
-      val linked = Stages.linkedFast(Stages.mentions(Pages.fromDocuments(s, dir), s), s)
+      val linked = Stages.linkedFast(Stages.mentionsKernel(Pages.fromDocuments(s, dir), s), s)
       val prs = Stages.pairs(linked).filter(col("h_qid") < col("t_qid"))
       val verts = linked.select(col("doc_id").cast("string").as("scope"), col("qid").as("v")).distinct()
       val edges = prs.select(col("doc_id").cast("string").as("scope"),
@@ -175,13 +175,13 @@ object SparkEntry {
     "q_scored_triples" -> ((s, dir) => {
       // the mapPartitions scoring kernel; with fixture weights its decode is
       // provably identical to the rule path, so it shares q_triples' oracle
-      val linked = Stages.linkedFast(Stages.mentions(Pages.fromDocuments(s, dir), s), s)
+      val linked = Stages.linkedFast(Stages.mentionsKernel(Pages.fromDocuments(s, dir), s), s)
       pipeline.RelationScorer.extract(linked, s)
         .select("doc_id", "subj", "pred", "obj").distinct()
         .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
     }),
     "q_eval" -> ((s, dir) => {
-      val triples = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s).cache()
+      val triples = Stages.extractTriplesKernel(Pages.fromDocuments(s, dir), s).cache()
       val gold = triples.filter(col("doc_id") % 7 =!= 0)
         .withColumn("intrain", col("doc_id") % 3 === 0)
       eval.Evaluator.score(triples, gold)
@@ -220,14 +220,14 @@ object SparkEntry {
         (sum(col("n_toks").cast("long")) * 1000 / count(lit(1))).cast("long").as("avg_tokens_milli"))
     }),
     "q_entity2id" -> ((s, dir) => {
-      val triples = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s).cache()
+      val triples = Stages.extractTriplesKernel(Pages.fromDocuments(s, dir), s).cache()
       sinks.Dictionaries.entity2id(triples).orderBy(col("id"))
     }),
     "q_coded_triples" -> ((s, dir) => {
       // cache: codedTriples walks the triple set three times (two id
       // dictionaries + the coding join) — without it the whole extraction
       // lineage would re-execute per walk
-      val triples = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s).cache()
+      val triples = Stages.extractTriplesKernel(Pages.fromDocuments(s, dir), s).cache()
       sinks.Dictionaries.codedTriples(triples)
         .orderBy(col("doc_id"), col("h_id"), col("r_id"), col("t_id"))
     }),

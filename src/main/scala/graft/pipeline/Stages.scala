@@ -240,70 +240,112 @@ object Stages {
     * Catalyst eval). Output identical to extractTriplesFused /
     * extractTriples — pinned in FusedSpec and by the shared q_triples
     * oracle semantics. */
+  /** Resolved alias entry for the kernels: remaining tokens after the
+    * first, full surface, qid, ner type. */
+  type DictEntry = (Array[String], String, String, String)
+
+  /** Dictionary keyed by FIRST token; candidates carry the remaining tokens
+    * so multi-word matching is token-by-token comparison — no slice/concat
+    * allocation per probe (the kernels are bandwidth-bound at high core
+    * counts; string building was the dominant allocation). */
+  def kernelDict: Map[String, Array[DictEntry]] =
+    resolvedAliases
+      .map { case (alias, qid, tpe) =>
+        val ts = alias.split(" "); ts.head -> ((ts.drop(1), alias, qid, tpe)) }
+      .groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).sortBy(-_._1.length).toArray }
+
+  /** Per-doc plain-Scala matcher shared by the mapPartitions kernels:
+    * sentence spans (terminal punctuation + chunk cap) → per-sentence
+    * MAXIMAL dictionary matches. Emits (sent_id, ps, pe, entry). Same
+    * semantics as sentences() + sentenceMentions() (pinned in FusedSpec /
+    * SentenceSpec via the exploding callers). */
+  private[pipeline] def docMentions(toks: Array[String],
+      byFirst: Map[String, Array[DictEntry]])
+      : scala.collection.mutable.ArrayBuffer[(Int, Int, Int, DictEntry)] = {
+    val chunk = Gazetteer.SentenceChunk
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var segStart = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty && isBoundary(t.charAt(t.length - 1))) {
+        var s = segStart
+        while (s <= i) { spans += ((s, math.min(s + chunk - 1, i))); s += chunk }
+        segStart = i + 1
+      }
+      i += 1
+    }
+    if (segStart <= toks.length - 1) {
+      var s = segStart
+      while (s <= toks.length - 1) {
+        spans += ((s, math.min(s + chunk - 1, toks.length - 1))); s += chunk
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, DictEntry)]
+    val cands = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, DictEntry)]
+    var sentId = 0
+    spans.foreach { case (st, en) =>
+      cands.clear()
+      var p = st
+      while (p <= en) {
+        val hits = byFirst.getOrElse(toks(p), null)
+        if (hits != null) hits.foreach { e =>
+          val rest = e._1
+          if (p + rest.length <= en) {
+            var k = 0
+            while (k < rest.length && rest(k) == toks(p + 1 + k)) k += 1
+            if (k == rest.length) cands += ((p, p + rest.length, e))
+          }
+        }
+        p += 1
+      }
+      cands.foreach { c =>
+        val contained = cands.exists(o =>
+          o._1 <= c._1 && o._2 >= c._2 && (o._2 - o._1) > (c._2 - c._1))
+        if (!contained) out += ((sentId, c._1, c._2, c._3))
+      }
+      sentId += 1
+    }
+    out
+  }
+
+  private def isBoundary(c: Char): Boolean =
+    c == '.' || c == '!' || c == '?' || c == ';'
+
+  /** mapPartitions twin of mentions(): (doc_id, sent_id, pos_start,
+    * pos_end, alias) — row-identical (FusedSpec), ~10× cheaper than the
+    * interpreted-HOF path. */
+  def mentionsKernel(pages: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val byFirstB = spark.sparkContext.broadcast(kernelDict)
+    pages.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val byFirst = byFirstB.value
+        it.flatMap { case (docId, text) =>
+          docMentions(text.split(" ", -1), byFirst).iterator
+            .map { case (sid, ps, pe, e) => (docId, sid, ps, pe, e._2) }
+        }
+      }
+      .toDF("doc_id", "sent_id", "pos_start", "pos_end", "alias")
+  }
+
   def extractTriplesKernel(pages: DataFrame, spark: SparkSession): DataFrame = {
     import spark.implicits._
-    // dictionary keyed by FIRST token; candidates carry the remaining
-    // tokens so multi-word matching is token-by-token comparison — no
-    // slice/concat allocation per probe (the kernel is bandwidth-bound at
-    // high core counts; string building was the dominant allocation)
-    val byFirstB = spark.sparkContext.broadcast(
-      resolvedAliases
-        .map { case (alias, qid, tpe) =>
-          val ts = alias.split(" "); ts.head -> (ts.drop(1), qid, tpe) }
-        .groupBy(_._1)
-        .map { case (k, v) => k -> v.map(_._2).sortBy(-_._1.length).toArray })
+    val byFirstB = spark.sparkContext.broadcast(kernelDict)
     val rulesB = spark.sparkContext.broadcast(
       Gazetteer.relRules.map(r => (r._1, r._2) -> r._3).toMap)
-    val chunk = Gazetteer.SentenceChunk
-    val boundary = Set('.', '!', '?', ';')
     pages.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val byFirst = byFirstB.value
         val rules = rulesB.value
         it.flatMap { case (docId, text) =>
-          val toks = text.split(" ", -1)
-          // sentence spans: terminal punctuation + chunk-cap subdivision
-          val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-          var segStart = 0
-          var i = 0
-          while (i < toks.length) {
-            val t = toks(i)
-            if (t.nonEmpty && boundary(t.charAt(t.length - 1))) {
-              var s = segStart
-              while (s <= i) { spans += ((s, math.min(s + chunk - 1, i))); s += chunk }
-              segStart = i + 1
-            }
-            i += 1
-          }
-          if (segStart <= toks.length - 1) {
-            var s = segStart
-            while (s <= toks.length - 1) {
-              spans += ((s, math.min(s + chunk - 1, toks.length - 1))); s += chunk
-            }
-          }
-          // per sentence: maximal dictionary matches → entity set → pairs.
-          // Per-doc LinkedHashSet dedup makes the output globally distinct
-          // (doc_id is part of the key) — NO downstream distinct/shuffle.
+          val ments = docMentions(text.split(" ", -1), byFirst)
+          // per-doc LinkedHashSet dedup makes the output globally distinct
+          // (doc_id is part of the key) — NO downstream distinct/shuffle
           val out = scala.collection.mutable.LinkedHashSet.empty[(String, String, String)]
-          val cands = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String)]
-          spans.foreach { case (st, en) =>
-            cands.clear()
-            var p = st
-            while (p <= en) {
-              val hits = byFirst.getOrElse(toks(p), null)
-              if (hits != null) hits.foreach { case (rest, qid, tpe) =>
-                if (p + rest.length <= en) {
-                  var k = 0
-                  while (k < rest.length && rest(k) == toks(p + 1 + k)) k += 1
-                  if (k == rest.length) cands += ((p, p + rest.length, qid, tpe))
-                }
-              }
-              p += 1
-            }
-            val maximal = cands.filterNot { c =>
-              cands.exists(o => o._1 <= c._1 && o._2 >= c._2 && (o._2 - o._1) > (c._2 - c._1))
-            }
-            val ents = maximal.map(m => (m._3, m._4)).distinct
+          ments.groupBy(_._1).foreach { case (_, ms) =>
+            val ents = ms.map(m => (m._4._3, m._4._4)).distinct
             ents.foreach { h =>
               ents.foreach { t =>
                 if (h._1 != t._1)

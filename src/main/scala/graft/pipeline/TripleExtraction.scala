@@ -73,7 +73,7 @@ object TripleExtraction {
 
     // production path: linkedFast (single broadcast probe) — the relational
     // vote variant (Stages.linked) embeds the mention lineage twice
-    val linked = Stages.linkedFast(Stages.mentions(work, spark), spark)
+    val linked = Stages.linkedFast(Stages.mentionsKernel(work, spark), spark)
     val scored = RelationScorer.extract(linked, spark)
       .select("doc_id", "subj", "pred", "obj")
     val canonical = Canonicalize(scored, linked, spark)

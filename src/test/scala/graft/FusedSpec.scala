@@ -50,6 +50,22 @@ class FusedSpec extends AnyFunSuite {
     assert(k2.exceptAll(f2).count() == 0 && f2.exceptAll(k2).count() == 0)
   }
 
+  test("mentionsKernel == declarative mentions, row for row") {
+    val pages = Pages.fromDocuments(spark, sfDir).cache()
+    val k = Stages.mentionsKernel(pages, spark)
+    val d = Stages.mentions(pages, spark)
+    assert(k.exceptAll(d).count() == 0)
+    assert(d.exceptAll(k).count() == 0)
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "spark uses sort merge join. merge join order here."),
+      (2L, "hash. join table scan batch"))
+      .toDF("doc_id", "text")
+    val k2 = Stages.mentionsKernel(tricky, spark)
+    val d2 = Stages.mentions(tricky, spark)
+    assert(k2.exceptAll(d2).count() == 0 && d2.exceptAll(k2).count() == 0)
+  }
+
   test("resolved dictionary matches the relational vote winners") {
     val pages = Pages.fromDocuments(spark, sfDir)
     val relational = Stages.linked(Stages.mentions(pages, spark), spark)
