@@ -25,7 +25,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}""")
+    // host load context: this box is multi-tenant — numbers measured under
+    // load are not comparable round-over-round without this field
+    val loadavg = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ").take(3).mkString(" ")
+    } catch { case _: Throwable => "unknown" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"loadavg":"$loadavg"}""")
     if (failed.nonEmpty) {
       spark.stop()
       sys.exit(1)

@@ -61,7 +61,11 @@ object Scaling {
     * construction — wrap-HTML UDF — is not part of the engine being
     * measured; the production job reads pages from an Iceberg table). */
   def materializedCorpus(spark: SparkSession, sfDir: String): String = {
-    val path = s"/tmp/graft_scaling_corpus_r${Replicas}_${sfDir.replaceAll("[^a-z0-9.]", "_")}"
+    // the layout version token invalidates corpora materialized by older
+    // code (different file count / repartition scheme) that would otherwise
+    // pass the _SUCCESS check and silently skew the comparison
+    val layoutV = "v3_128f"
+    val path = s"/tmp/graft_scaling_corpus_${layoutV}_r${Replicas}_${sfDir.replaceAll("[^a-z0-9.]", "_")}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
       // fixed file count: the corpus layout must not depend on which
       // parallelism level happened to materialize it first

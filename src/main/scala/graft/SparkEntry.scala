@@ -109,14 +109,19 @@ object SparkEntry {
     }),
     "q_linked" -> ((s, dir) => {
       val pages = Pages.fromDocuments(s, dir)
-      Stages.linked(Stages.mentions(pages, s), s)
+      // cache: the relational vote walks the mention lineage twice (candidate
+      // branch + final join) and Catalyst has no plan-level CSE — uncached,
+      // the interpreted-HOF extraction would execute 2-3× per action
+      val ments = Stages.mentions(pages, s).cache()
+      Stages.linked(ments, s)
         .groupBy(col("doc_id"), col("alias"), col("qid"), col("ner_type"))
         .agg(count(lit(1)).as("n_mentions"))
         .orderBy(col("doc_id"), col("alias"))
     }),
     "q_pairs" -> ((s, dir) => {
       val pages = Pages.fromDocuments(s, dir)
-      val linked = Stages.linked(Stages.mentions(pages, s), s)
+      val ments = Stages.mentions(pages, s).cache()
+      val linked = Stages.linked(ments, s)
       Stages.pairs(linked)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_pairs"),

@@ -24,21 +24,36 @@ object DenseIds {
 
   /** Append `idName` = dense 0-based rank of each row in `order` order.
     * Rows must be unique under `order` (ties would make ids nondeterministic
-    * under any strategy, windowed or not). */
+    * under any strategy, windowed or not).
+    *
+    * The ranged frame is PERSISTED and materialized by the count pass:
+    * `repartitionByRange` derives its boundaries by SAMPLING and Spark
+    * documents the result "may not be consistent" across evaluations — if
+    * pass 2 re-executed the exchange it could see different boundaries than
+    * the ones pass 1's offsets were computed from, silently corrupting ids.
+    * Persisting pins one physical partitioning for both passes. The cache
+    * entry is dictionary-scale (the inputs here are vocabularies); callers
+    * may `.unpersist()` the RETURNED frame's parent after consuming.
+    *
+    * An unseen partition id in pass 2 is a hard error (raise_error), never a
+    * silent offset-0 fallback. */
   def globalDenseId(df: DataFrame, idName: String, order: Seq[Column]): DataFrame = {
     val pid = "_graft_pid"
     val ranged = df
       .repartitionByRange(order: _*)
       .withColumn(pid, spark_partition_id())
+      .persist()
     val counts = ranged.groupBy(col(pid)).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (p, n) => val o = acc; acc += n; p -> o }.toMap
     val offMap = typedLit(if (offsets.isEmpty) Map(0 -> 0L) else offsets)
     val w = Window.partitionBy(col(pid)).orderBy(order: _*)
+    val off = coalesce(element_at(offMap, col(pid)),
+      raise_error(concat(lit("globalDenseId: partition id unseen by the count pass: "),
+        col(pid).cast("string"))).cast("long"))
     ranged
-      .withColumn(idName,
-        (row_number().over(w) - 1 + coalesce(element_at(offMap, col(pid)), lit(0L))).cast("long"))
+      .withColumn(idName, (row_number().over(w) - 1 + off).cast("long"))
       .drop(pid)
   }
 }

@@ -10,7 +10,6 @@ import org.apache.spark.sql.expressions.Window
   * each mention keeps its top-8 partners (W1, `gen_coref_data.py:40-41`).
   * With a constant prior the reference's score ordering is undefined, so we
   * pin the deterministic order: nearest-first, then position.
-  * Entirely partition-local per document (window keyed by doc).
   */
 object Coref {
 
@@ -19,8 +18,45 @@ object Coref {
 
   /** Coref pairs from detected mentions (doc_id, sent_id, pos_start,
     * pos_end, alias) — span mentions corefer by start position:
-    * (doc_id, alias, p1, p2, dist, rank, score), rank ≤ 8 per left mention. */
+    * (doc_id, alias, p1, p2, dist, rank, score), rank ≤ 8 per left mention.
+    *
+    * 100 TB shape: positions are sorted IN-ROW per (doc, alias) and each
+    * mention's candidates are its 8 predecessors + 8 successors in that
+    * order — the j-th nearest partner by |Δpos| is always among the j
+    * sorted-order neighbors on either side, so the top-8-by-(dist, p2) over
+    * the 16-candidate window equals the top-8 over ALL partners. O(k·8)
+    * output rows and O(k·16 log 16) work for an alias mentioned k times,
+    * vs the self-join's O(k²) intermediate that rode through one shuffle
+    * partition (the reference has the same quadratic,
+    * `gen_coref_data.py:160-188`, survivable only via its 3,200-pair doc
+    * cap). One shuffle (the groupBy); no self-join anywhere in the plan
+    * (CorefSpec asserts both the plan shape and equality with the join
+    * formulation). */
   def aliasCoref(mentions: DataFrame): DataFrame = {
+    val k = TopPartners
+    mentions
+      .groupBy(col("doc_id"), col("alias"))
+      .agg(array_sort(collect_list(col("pos_start"))).as("ps"))
+      .select(col("doc_id"), col("alias"), col("ps"),
+        posexplode(col("ps")).as(Seq("i", "p1")))
+      .withColumn("top", expr(s"""
+        slice(array_sort(transform(
+          filter(slice(ps, greatest(i + 1 - $k, 1),
+                       least(i + 1 + $k, size(ps)) - greatest(i + 1 - $k, 1) + 1),
+                 x -> x != p1),
+          x -> struct(abs(x - p1) AS dist, x AS p2))), 1, $k)"""))
+      .select(col("doc_id"), col("alias"), col("p1"),
+        posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("doc_id"), col("alias"), col("p1"),
+        col("t.p2").as("p2"), col("t.dist").as("dist"),
+        (col("r0") + 1).cast("int").as("rank"))
+      .withColumn("score", lit(Prior))
+  }
+
+  /** The reference-shaped self-join formulation — O(k²) intermediate, kept
+    * ONLY as the equivalence twin for CorefSpec (and mirroring the oracle
+    * SQL). Production plans use `aliasCoref`. */
+  def aliasCorefJoin(mentions: DataFrame): DataFrame = {
     val m1 = mentions.select(col("doc_id"), col("alias"), col("pos_start").as("p1"))
     val m2 = mentions.select(col("doc_id"), col("alias"), col("pos_start").as("p2"))
     val w = Window.partitionBy(col("doc_id"), col("alias"), col("p1"))

@@ -65,6 +65,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!planOf(sinks.Dictionaries.entity2id(triples)).contains("SinglePartition"))
   }
 
+  test("dense ids are stable across input partitionings and repeated runs") {
+    // the two-pass scheme samples range boundaries; the persist() inside
+    // globalDenseId pins ONE partitioning for both passes — re-running over
+    // arbitrarily re-shuffled inputs must yield byte-identical ids
+    val base = spark.range(3000)
+      .select((col("id") % 613).as("k"), col("id"))
+      .groupBy("k").agg(min("id").as("first"))
+    val runs = (1 to 3).map { i =>
+      val shuffled = base.repartition(i * 3, col("k"))
+      val ids = ops.DenseIds.globalDenseId(shuffled, "id", Seq(col("first").asc, col("k").asc))
+        .select("k", "id").collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      ids
+    }
+    assert(runs(0) == runs(1) && runs(1) == runs(2), "dense ids differ across runs")
+    val ids = runs.head.map(_._2).sorted
+    assert(ids == (0L until 613L), "ids not a contiguous 0-based range")
+  }
+
   test("salting spreads a hot key across partitions (measured, not assumed)") {
     import spark.implicits._
     val big = spark.range(20000).select(lit("hot").as("k"), col("id").as("v"))
