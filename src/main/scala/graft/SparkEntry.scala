@@ -313,7 +313,9 @@ object SparkEntry {
     ),
     tseg AS (
       SELECT doc_id, tok, pos,
-             COALESCE(SUM(CASE WHEN regexp_matches(tok, '[.!?;]$$') THEN 1 ELSE 0 END)
+             COALESCE(SUM(CASE WHEN regexp_matches(tok, '[.!?;]$$')
+                               AND lower(tok) NOT IN ${Gazetteer.abbrevSqlList}
+                          THEN 1 ELSE 0 END)
                OVER (PARTITION BY doc_id ORDER BY pos
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
       FROM toks

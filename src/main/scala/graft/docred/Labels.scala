@@ -19,10 +19,12 @@ import graft.kb.Gazetteer
   */
 object Labels {
 
-  /** Relation vocabulary for the one-hot fold: index 0 = NA, then the rule
-    * predicates in sorted order (the reference uses rel2id.json; ours is
-    * derived from the same Gazetteer the classifier uses). */
-  val relVocab: Seq[String] = "NA" +: Gazetteer.relRules.map(_._3).distinct.sorted
+  /** Relation vocabulary for the one-hot fold: index 0 = NA, then the 96
+    * public DocRED relation ids in rel2id order — the SAME vocabulary the
+    * classifier (RelationScorer.relations) decodes into
+    * (`ATLOP+KIRE/prepro.py:4-6` loads rel2id.json; ours is
+    * graft.kb.DocREDVocab). */
+  val relVocab: Seq[String] = "NA" +: graft.kb.DocREDVocab.relations
 
   /** J5 + A8: every ordered pair with its multi-hot label vector.
     * Output: (title, h, t, rel_ids, label_vec, is_na). */

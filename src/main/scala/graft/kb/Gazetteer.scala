@@ -59,51 +59,60 @@ object Gazetteer {
     * mention matcher in BOTH engines. */
   def aliasLens: Seq[Int] = aliases.map(_._1.split(" ").length).distinct.sorted
 
-  /** qid → NER type (reference type vocabulary: ORG/LOC/NUM/TIME/MISC/PER;
-    * `SSAN+KIRE/dataset.py:74`; TECH stands in for MISC-like tech entities). */
+  /** qid → NER type over the REAL 6-type DocRED vocabulary
+    * (PER/ORG/LOC/TIME/NUM/MISC, `SSAN+KIRE/dataset.py:74`,
+    * graft.kb.DocREDVocab.nerTypes): tech-ish entities are MISC, place-ish
+    * ones LOC — the web path and the DocRED gold path share one type space. */
   val entityTypes: Seq[(String, String)] = Seq(
-    "Q1" -> "TECH", "Q2" -> "TECH", "Q3" -> "TECH", "Q4" -> "PER",
-    "Q5" -> "TECH", "Q6" -> "TECH", "Q7" -> "TECH", "Q8" -> "ORG",
-    "Q9" -> "MISC", "Q10" -> "TECH", "Q11" -> "TECH", "Q12" -> "TECH",
-    "Q13" -> "TECH", "Q14" -> "TECH", "Q15" -> "ORG", "Q16" -> "ORG",
-    "Q17" -> "TECH", "Q18" -> "ORG",
-    "Q30" -> "TECH", "Q31" -> "TECH", "Q32" -> "TECH", "Q33" -> "MISC",
-    "Q34" -> "TECH"
+    "Q1" -> "MISC", "Q2" -> "MISC", "Q3" -> "MISC", "Q4" -> "PER",
+    "Q5" -> "MISC", "Q6" -> "MISC", "Q7" -> "MISC", "Q8" -> "ORG",
+    "Q9" -> "LOC", "Q10" -> "MISC", "Q11" -> "MISC", "Q12" -> "MISC",
+    "Q13" -> "MISC", "Q14" -> "MISC", "Q15" -> "ORG", "Q16" -> "ORG",
+    "Q17" -> "MISC", "Q18" -> "ORG",
+    "Q30" -> "MISC", "Q31" -> "MISC", "Q32" -> "MISC", "Q33" -> "LOC",
+    "Q34" -> "MISC"
   )
 
-  /** Deterministic relation rules: (headType, tailType) → predicate.
+  /** Deterministic relation rules: (headType, tailType) → predicate, with
+    * predicates drawn from the REAL 96-relation DocRED vocabulary
+    * (graft.kb.DocREDVocab.relations — Wikidata property ids; the reference
+    * classifies into exactly this space, `GLRE+KIRE/data/loader.py:100-112`).
     * Stands in for the reference's learned pair classifier at the fixture
     * level; the scored kernel (graft.pipeline.RelationScorer) refines these
     * with per-pair features + adaptive-threshold decode. Not all type pairs
     * produce a relation (NA class, `ATLOP+KIRE/prepro.py:126-143`). */
   val relRules: Seq[(String, String, String)] = Seq(
-    ("TECH", "TECH", "P_interacts"),
-    ("PER", "TECH", "P_uses"),
-    ("TECH", "ORG", "P_part_of"),
-    ("ORG", "PER", "P_serves"),
-    ("MISC", "TECH", "P_about"),
-    ("ORG", "ORG", "P_affiliate")
+    ("MISC", "MISC", "P361"),  // part of
+    ("PER", "MISC", "P800"),   // notable work
+    ("MISC", "ORG", "P127"),   // owned by
+    ("ORG", "PER", "P488"),    // chairperson
+    ("LOC", "MISC", "P1441"),  // present in work
+    ("ORG", "ORG", "P355")     // subsidiary
   )
 
-  /** KB triple store (h, r, t) for one-hop subgraph extraction (J2). */
+  /** KB triple store (h, r, t) for one-hop subgraph extraction (J2).
+    * KB-side predicates are Wikidata property ids too, but from the OPEN
+    * Wikidata space — the KB vocabulary is independent of the 96-relation
+    * output vocabulary (the reference's KG dumps carry arbitrary pids,
+    * `gen_kg_data.py:370-394`); `kbRel2rel` maps the overlap. */
   val kgTriples: Seq[(String, String, String)] = Seq(
-    ("Q1", "P_dev_by", "Q8"),
-    ("Q1", "P_uses_kb", "Q2"),
-    ("Q2", "P_variant", "Q3"),
-    ("Q4", "P_member", "Q8"),
-    ("Q5", "P_part", "Q1"),
-    ("Q6", "P_part", "Q1"),
-    ("Q7", "P_part", "Q1"),
-    ("Q9", "P_runs_on", "Q1"),
-    ("Q10", "P_impl", "Q2"),
-    ("Q10", "P_impl", "Q3"),
-    ("Q11", "P_feeds", "Q10"),
-    ("Q13", "P_feeds", "Q11"),
-    ("Q14", "P_feeds", "Q3"),
-    ("Q15", "P_sched", "Q7"),
-    ("Q30", "P_impl", "Q2"),   // multi-word-linked entity in the one-hop graph
-    ("Q31", "P_variant", "Q30"),
-    ("Q20", "P_ext", "Q21")  // fully outside any document: must be pruned
+    ("Q1", "P178", "Q8"),    // developer
+    ("Q1", "P366", "Q2"),    // has use
+    ("Q2", "P460", "Q3"),    // said to be the same as
+    ("Q4", "P463", "Q8"),    // member of
+    ("Q5", "P361", "Q1"),    // part of
+    ("Q6", "P361", "Q1"),
+    ("Q7", "P361", "Q1"),
+    ("Q9", "P400", "Q1"),    // platform
+    ("Q10", "P2283", "Q2"),  // uses
+    ("Q10", "P2283", "Q3"),
+    ("Q11", "P1542", "Q10"), // has effect
+    ("Q13", "P1542", "Q11"),
+    ("Q14", "P1542", "Q3"),
+    ("Q15", "P1056", "Q7"),  // product produced
+    ("Q30", "P2283", "Q2"),  // multi-word-linked entity in the one-hop graph
+    ("Q31", "P460", "Q30"),
+    ("Q20", "P1545", "Q21")  // fully outside any document: must be pruned
   )
 
   /** Entity attributes (qid, kind, text); kinds follow the reference's four
@@ -145,6 +154,14 @@ object Gazetteer {
     * this cap alone bounds the co-occurrence scope). */
   val SentenceChunk = 16
 
+  /** Abbreviation tokens that end in '.' but do NOT close a sentence — the
+    * T7 splitter's post-fix list (the reference's GENIA path carried ~20
+    * such fixes, `GLRE+KIRE/data_processing/tools.py:246-305`). Compared
+    * lowercase against the whole token. */
+  val abbreviations: Seq[String] = Seq(
+    "dr.", "mr.", "mrs.", "ms.", "prof.", "st.", "no.", "vs.", "etc.",
+    "e.g.", "i.e.", "u.s.", "inc.", "co.", "jr.", "sr.", "fig.", "al.")
+
   // ---- SQL VALUES generation (DuckDB oracle side) ----
 
   private def lit(s: String) = "'" + s.replace("'", "''") + "'"
@@ -163,4 +180,7 @@ object Gazetteer {
 
   def kgAttrValues: String =
     kgAttrs.map { case (q, k, t) => s"(${lit(q)}, ${lit(k)}, ${lit(t)})" }.mkString(", ")
+
+  /** DuckDB `IN (...)` list of abbreviation tokens. */
+  def abbrevSqlList: String = abbreviations.map(lit).mkString("(", ", ", ")")
 }

@@ -29,8 +29,11 @@ object RelationScorer {
 
   val MaxLabels = 4 // ATLOP num_labels cap (losses.py:37)
 
-  /** All relation labels (the "classes"); index 0 is the TH class. */
-  val relations: Seq[String] = Gazetteer.relRules.map(_._3).distinct.sorted
+  /** All relation labels (the "classes"): the REAL 96-relation DocRED
+    * vocabulary (`GLRE+KIRE/data/loader.py:100-112`) — the web path and the
+    * DocRED gold path classify into one shared space. The TH (NA) class is
+    * implicit at logit 0. */
+  val relations: Seq[String] = graft.kb.DocREDVocab.relations
 
   /** log2 distance bucketing `dis2idx` (M1,
     * `ATLOP+KIRE/knowledge_injection_layer/kg_data_loader.py:62-72`):
@@ -58,7 +61,7 @@ object RelationScorer {
 
   def fixtureWeights: Weights = {
     val ruleSet = Gazetteer.relRules.toSet
-    val types = Gazetteer.entityTypes.map(_._2).distinct
+    val types = graft.kb.DocREDVocab.nerTypes
     val all = for {
       h <- types; t <- types; r <- relations
     } yield (h, t, r) -> (if (ruleSet.contains((h, t, r))) 2.0 else -2.0)

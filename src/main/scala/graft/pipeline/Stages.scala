@@ -43,6 +43,9 @@ object Stages {
     * assigns dense ids without any window or shuffle. */
   def sentences(pages: DataFrame): DataFrame = {
     val chunk = Gazetteer.SentenceChunk
+    // abbreviation post-fix (T7): "dr." / "u.s." are not boundaries
+    val abbrevMap = Gazetteer.abbreviations
+      .map(a => s"'${a.replace("'", "''")}', 1").mkString("map(", ", ", ")")
     // Performance shape: higher-order functions evaluate INTERPRETED, with
     // no common-subexpression elimination — a lambda body re-evaluates its
     // captured child expressions on every element. Any array used more than
@@ -55,7 +58,8 @@ object Stages {
       .withColumn("spans", expr(s"""
         element_at(transform(array(
             filter(sequence(0, size(toks) - 1),
-                   i -> substring(element_at(toks, i + 1), -1, 1) IN ('.', '!', '?', ';'))),
+                   i -> substring(element_at(toks, i + 1), -1, 1) IN ('.', '!', '?', ';')
+                        AND element_at($abbrevMap, lower(element_at(toks, i + 1))) IS NULL)),
           bidx ->
             flatten(transform(
               filter(zip_with(concat(array(0), transform(bidx, b -> b + 1)),
@@ -269,7 +273,8 @@ object Stages {
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
-      if (t.nonEmpty && isBoundary(t.charAt(t.length - 1))) {
+      if (t.nonEmpty && isBoundary(t.charAt(t.length - 1))
+          && !abbrevSet.contains(t.toLowerCase)) {
         var s = segStart
         while (s <= i) { spans += ((s, math.min(s + chunk - 1, i))); s += chunk }
         segStart = i + 1
@@ -312,6 +317,12 @@ object Stages {
 
   private def isBoundary(c: Char): Boolean =
     c == '.' || c == '!' || c == '?' || c == ';'
+
+  /** Abbreviation set for the kernel path (checked only on boundary-final
+    * tokens — one lowercase allocation per boundary candidate, not per
+    * token). Must stay identical to the HOF path's map literal and the
+    * oracle's NOT IN list — all three derive from Gazetteer.abbreviations. */
+  private val abbrevSet: Set[String] = Gazetteer.abbreviations.toSet
 
   /** mapPartitions twin of mentions(): (doc_id, sent_id, pos_start,
     * pos_end, alias) — row-identical (FusedSpec), ~10× cheaper than the

@@ -31,7 +31,7 @@ class DwieSpec extends AnyFunSuite {
     val triples = RelationScorer.score(feats, spark)
       .select("subj", "pred", "obj").distinct().collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
-    assert(triples == Set(("Q1", "P_part_of", "Q8")))
+    assert(triples == Set(("Q1", "P127", "Q8")))
   }
 
   test("extract_html_text is SQL-callable after extension registration") {

@@ -21,8 +21,8 @@ class LabelsSpec extends AnyFunSuite {
       (r.getString(0), r.getInt(1), r.getInt(2)) ->
         (r.getSeq[String](3), r.getSeq[Boolean](4), r.getBoolean(5))).toMap
     val (relsA, vecA, naA) = byKey(("docA", 1, 0))
-    assert(relsA == Seq("P_uses") && !naA)
-    assert(vecA(Labels.relVocab.indexOf("P_uses")) && !vecA(0))
+    assert(relsA == Seq("P800") && !naA)
+    assert(vecA(Labels.relVocab.indexOf("P800")) && !vecA(0))
     val (relsN, vecN, naN) = byKey(("docA", 0, 1)) // unlabeled direction
     assert(relsN.isEmpty && naN && vecN(0) && vecN.count(identity) == 1)
   }
@@ -84,7 +84,7 @@ class LabelsSpec extends AnyFunSuite {
     val lines = Seq(
       "123|t|A title about spark",
       "123|a|An abstract body",
-      "123\t0\t5\tspark\tTECH\tQ1",
+      "123\t0\t5\tspark\tMISC\tQ1",
       "123\t10\t15\ttable\tORG\tQ8",
       "123\tCID\tQ1\tQ8",
       "456|t|Entity-less doc"

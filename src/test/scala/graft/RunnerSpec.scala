@@ -83,11 +83,11 @@ class RunnerSpec extends AnyFunSuite {
     import spark.implicits._
     // two aliases in one doc voted to the same qid + a distinct second entity
     val linked = Seq(
-      (1L, 0, 0, "spark", "Q1", "TECH"),
-      (1L, 0, 2, "sparkle", "Q1", "TECH"),
+      (1L, 0, 0, "spark", "Q1", "MISC"),
+      (1L, 0, 2, "sparkle", "Q1", "MISC"),
       (1L, 0, 4, "table", "Q8", "ORG"))
       .toDF("doc_id", "sent_id", "pos_start", "alias", "qid", "ner_type")
-    val triples = Seq((1L, "Q1", "P_part_of", "Q8"), (1L, "Q1", "P_x", "Q1"))
+    val triples = Seq((1L, "Q1", "P127", "Q8"), (1L, "Q1", "P_x", "Q1"))
       .toDF("doc_id", "subj", "pred", "obj")
     val got = Canonicalize(triples, linked, spark).collect()
     assert(got.length == 1) // self-loop dropped

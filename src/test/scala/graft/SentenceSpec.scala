@@ -38,6 +38,30 @@ class SentenceSpec extends AnyFunSuite {
       (3, 3, 3, Seq("four."))))
   }
 
+  test("abbreviations do not close a sentence") {
+    // "dr." and "u.s." end in '.' but are post-fixed as non-boundaries
+    assert(sents("dr. smith met x. y z") == Seq(
+      (0, 0, 3, Seq("dr.", "smith", "met", "x.")),
+      (1, 4, 5, Seq("y", "z"))))
+    assert(sents("in the u.s. market. prices rose") == Seq(
+      (0, 0, 3, Seq("in", "the", "u.s.", "market.")),
+      (1, 4, 5, Seq("prices", "rose"))))
+    // case-insensitive: "Dr." behaves like "dr."; and the kernel path agrees
+    assert(sents("Dr. who arrived. then left") == Seq(
+      (0, 0, 2, Seq("Dr.", "who", "arrived.")),
+      (1, 3, 4, Seq("then", "left"))))
+    import spark.implicits._
+    val df = Seq((1L, "dr. spark met hash. join u.s. merge")).toDF("doc_id", "text")
+    val hof = Stages.mentions(df, spark).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+    val ker = Stages.mentionsKernel(df, spark).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+    assert(hof == ker)
+    // "hash." closes the sentence, so "join" opens sentence 1; "u.s." does
+    // not close it, so "merge" shares sentence 1 with "join"
+    assert(hof == Set((0, 1, 1, "spark"), (1, 4, 4, "join"), (1, 6, 6, "merge")))
+  }
+
   test("punctuation-less run-ons are capped at SentenceChunk tokens") {
     val toks36 = (0 until 36).map(i => s"w$i").mkString(" ")
     val got = sents(toks36)
