@@ -35,4 +35,8 @@ object DocREDVocab {
   val nerTypes: Seq[String] = Seq("PER", "ORG", "LOC", "TIME", "NUM", "MISC")
 
   val ner2id: Map[String, Int] = nerTypes.zipWithIndex.toMap
+
+  /** DuckDB VALUES list of the 96 relation ids (oracle-side vocabulary,
+    * generated from the same Seq the classifier decodes into). */
+  def relValues: String = relations.map(r => s"('$r')").mkString(", ")
 }

@@ -115,6 +115,25 @@ object Gazetteer {
     ("Q20", "P1545", "Q21")  // fully outside any document: must be pruned
   )
 
+  /** KB-predicate → output-relation map for the knowledge-injection layer:
+    * a direct KB edge (h, pid, t) is evidence for the mapped 96-vocabulary
+    * relation between the pair (the relational distillation of the
+    * reference's KG-adjacency injection,
+    * `ATLOP+KIRE/knowledge_injection_layer/modules.py:23-185`,
+    * `kg_data_loader.py:125-153`). Values MUST be DocREDVocab relations. */
+  val kbRel2rel: Seq[(String, String)] = Seq(
+    "P178" -> "P178",   // developer is itself a DocRED relation
+    "P366" -> "P1056",  // has use → product or material produced
+    "P460" -> "P361",   // same-as → part of
+    "P463" -> "P463",   // member of is itself a DocRED relation
+    "P361" -> "P361",   // part of
+    "P400" -> "P361",   // platform → part of
+    "P2283" -> "P737",  // uses → influenced by
+    "P1542" -> "P737",  // has effect → influenced by
+    "P1056" -> "P1056", // product produced
+    "P1545" -> "P361"   // series ordinal → part of (KB-only, outside docs)
+  )
+
   /** Entity attributes (qid, kind, text); kinds follow the reference's four
     * attribute strings. description/alias default to label when absent
     * (`gen_kg_data.py:578-608`) — Q9/Q10 intentionally lack them. */
@@ -183,4 +202,7 @@ object Gazetteer {
 
   /** DuckDB `IN (...)` list of abbreviation tokens. */
   def abbrevSqlList: String = abbreviations.map(lit).mkString("(", ", ", ")")
+
+  def kbRel2relValues: String =
+    kbRel2rel.map { case (k, r) => s"(${lit(k)}, ${lit(r)})" }.mkString(", ")
 }

@@ -1,0 +1,177 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.kb.Gazetteer
+
+/** The knowledge-injection layer: KG structure (one-hop edges + shared
+  * neighborhood), entity attributes, and coref statistics FUSED into the
+  * relation classifier's features — the relational re-expression of KIRE's
+  * core thesis (`ATLOP+KIRE/knowledge_injection_layer/aggregation.py:6-127`
+  * fuses KG-attribute/KG-structure/coref encodings into the pair
+  * representation; adjacency from `kg_data_loader.py:125-153`, attr encoder
+  * `kg_encoder.py:68-116`, coref distillation `coref_triple_enc.py:8-88`).
+  *
+  * All feature weights are INTEGER milli-logits, so the adaptive-threshold
+  * decode (logit > 0, top-4 by (−logit, relation)) is bit-exactly
+  * reproducible by integer SQL — the DuckDB oracle replays the full
+  * 96-relation logit computation, not a shortcut.
+  *
+  * Weight design (fixture): a rule-sanctioned (hType, tType, rel) scores
+  * +2000, others −2000. The soft features (distance ≤ 450, co-occurrence
+  * ≤ 1000, neighbors ≤ 600, coref ≤ 160, attrs ≤ 100) can never flip a base
+  * sign on their own (max soft sum 1860 < 2000), while a DIRECT KB edge
+  * contributes +4500 to its suggested relation — KG evidence, and only KG
+  * evidence, flips decodes. Injected output = rule-path triples ∪
+  * KB-evidenced triples, by construction and by InjectionSpec.
+  */
+object KnowledgeInjection {
+
+  // integer milli-logit weights — shared verbatim with the oracle SQL
+  val WBase = 2000
+  val WDist = -50 // per log2 distance bucket (0..9)
+  val WCoocUnit = 100; val CoocCap = 10
+  val WDirect = 4500 // per suggested relation with a direct KB edge h→t
+  val WNbrUnit = 150; val NbrCap = 4 // shared KB neighbors of (h, t)
+  val WCorefUnit = 10; val CorefCap = 8 // coref partner counts (W1 top-8)
+  val WAttr = 100 // same instance-of class (attr-encoder distillation)
+
+  case class InjectedFeature(doc_id: Long, h_qid: String, h_type: String,
+                             t_qid: String, t_type: String,
+                             min_sent_dist: Int, n_cooc: Long,
+                             evidence: Seq[Int], sugg_rels: Seq[String],
+                             shared_nbrs: Int, h_coref: Int, t_coref: Int,
+                             same_inst: Int)
+
+  case class InjScoredTriple(doc_id: Long, subj: String, pred: String,
+                             obj: String, score_milli: Long, evidence: Seq[Int])
+
+  /** Per-(doc, entity) coref statistic distilled from the coref OPERATOR's
+    * output (not recomputed from raw mentions): max over the entity's
+    * aliases of its per-mention partner count (≤ 8 by the W1 cap). */
+  def corefCounts(linked: DataFrame): DataFrame = {
+    val perMention = Coref.aliasCoref(linked)
+      .groupBy(col("doc_id"), col("alias"), col("p1"))
+      .agg(count(lit(1)).as("k"))
+    val perAlias = perMention.groupBy(col("doc_id"), col("alias"))
+      .agg(max(col("k")).as("k"))
+    linked.select(col("doc_id"), col("alias"), col("qid")).distinct()
+      .join(perAlias, Seq("doc_id", "alias"), "left")
+      .groupBy(col("doc_id"), col("qid"))
+      .agg(max(coalesce(col("k"), lit(0L))).cast("int").as("coref"))
+  }
+
+  /** Pair features + injected knowledge. Derivation is genuine dataflow from
+    * the enrichment operators: direct-edge / shared-neighbor features come
+    * from `Enrich.oneHop`'s output, the attribute feature from
+    * `Enrich.attributes`, the coref feature from `Coref.aliasCoref`. */
+  def injectedFeatures(linked: DataFrame, spark: SparkSession): DataFrame = {
+    val feats = RelationScorer.pairFeatures(linked).filter(col("n_cooc") >= 1)
+
+    // (a) KG structure from the one-hop subgraph
+    val hop = Enrich.oneHop(linked, spark)
+    val rel2rel = typedLit(Gazetteer.kbRel2rel.toMap)
+    val direct = hop.select(col("doc_id"), col("h").as("h_qid"), col("t").as("t_qid"),
+        element_at(rel2rel, col("r")).as("sr"))
+      .filter(col("sr").isNotNull)
+      .groupBy("doc_id", "h_qid", "t_qid")
+      .agg(array_sort(collect_set(col("sr"))).as("sugg_rels"))
+    val und = hop.select(col("doc_id"), col("h").as("a"), col("t").as("b"))
+      .union(hop.select(col("doc_id"), col("t").as("a"), col("h").as("b")))
+      .distinct()
+    val nbr = und.select(col("doc_id"), col("a").as("h_qid"), col("b").as("z"))
+      .join(und.select(col("doc_id"), col("a").as("t_qid"), col("b").as("z")),
+        Seq("doc_id", "z"))
+      .filter(col("h_qid") =!= col("t_qid") &&
+        col("z") =!= col("h_qid") && col("z") =!= col("t_qid"))
+      .groupBy("doc_id", "h_qid", "t_qid")
+      .agg(countDistinct(col("z")).cast("int").as("shared_nbrs"))
+
+    // (b) attribute features (instance-of with reference default fill)
+    val inst = Enrich.attributes(linked, spark).select(col("qid"), col("instance_of"))
+
+    // (c) coref features from the coref operator
+    val coref = corefCounts(linked)
+
+    feats
+      .join(direct, Seq("doc_id", "h_qid", "t_qid"), "left")
+      .join(nbr, Seq("doc_id", "h_qid", "t_qid"), "left")
+      .join(broadcast(inst.select(col("qid").as("h_qid"), col("instance_of").as("h_inst"))),
+        Seq("h_qid"))
+      .join(broadcast(inst.select(col("qid").as("t_qid"), col("instance_of").as("t_inst"))),
+        Seq("t_qid"))
+      .join(coref.select(col("doc_id"), col("qid").as("h_qid"), col("coref").as("h_coref")),
+        Seq("doc_id", "h_qid"), "left")
+      .join(coref.select(col("doc_id"), col("qid").as("t_qid"), col("coref").as("t_coref")),
+        Seq("doc_id", "t_qid"), "left")
+      .select(col("doc_id"), col("h_qid"), col("h_type"), col("t_qid"), col("t_type"),
+        col("min_sent_dist"), col("n_cooc"), col("evidence"),
+        coalesce(col("sugg_rels"), array()).as("sugg_rels"),
+        coalesce(col("shared_nbrs"), lit(0)).as("shared_nbrs"),
+        coalesce(col("h_coref"), lit(0)).as("h_coref"),
+        coalesce(col("t_coref"), lit(0)).as("t_coref"),
+        (col("h_inst") === col("t_inst")).cast("int").as("same_inst"))
+  }
+
+  /** The mapPartitions inference kernel over injected features: 96 integer
+    * milli-logits per pair, adaptive-threshold decode. Broadcast: the rule
+    * set (the type-pair weight table's support). */
+  def scoreInjected(features: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val ruleSetB = spark.sparkContext.broadcast(Gazetteer.relRules.toSet)
+    val rels = RelationScorer.relations
+    features.as[InjectedFeature].mapPartitions { it =>
+      val ruleSet = ruleSetB.value
+      it.flatMap { p =>
+        val soft = WDist * RelationScorer.disBucket(p.min_sent_dist) +
+          WCoocUnit * math.min(p.n_cooc, CoocCap.toLong).toInt +
+          WNbrUnit * math.min(p.shared_nbrs, NbrCap) +
+          WCorefUnit * (math.min(p.h_coref, CorefCap) + math.min(p.t_coref, CorefCap)) +
+          WAttr * p.same_inst
+        val sugg = p.sugg_rels.toSet
+        rels.map { r =>
+            val base = if (ruleSet.contains((p.h_type, p.t_type, r))) WBase else -WBase
+            r -> (base + soft + (if (sugg.contains(r)) WDirect else 0)).toLong
+          }
+          .filter(_._2 > 0L)
+          .sortBy { case (r, l) => (-l, r) }
+          .take(RelationScorer.MaxLabels)
+          .map { case (r, l) => InjScoredTriple(p.doc_id, p.h_qid, r, p.t_qid, l, p.evidence) }
+      }
+    }.toDF()
+  }
+
+  /** Declarative twin of `scoreInjected` — identical decode expressed as
+    * explode + literal-map lookups + window top-4. Pinned row-identical to
+    * the kernel in InjectionSpec; kept for plan inspection, not production. */
+  def scoreInjectedRelational(features: DataFrame): DataFrame = {
+    val relsArr = typedLit(RelationScorer.relations)
+    val ruleMap = typedLit(
+      Gazetteer.relRules.map(r => (r._1 + "|" + r._2 + "|" + r._3) -> 1).toMap)
+    val w = Window.partitionBy("doc_id", "h_qid", "t_qid")
+      .orderBy(col("score_milli").desc, col("pred").asc)
+    features
+      .withColumn("pred", explode(relsArr))
+      .withColumn("score_milli",
+        (when(element_at(ruleMap,
+            concat_ws("|", col("h_type"), col("t_type"), col("pred"))).isNotNull,
+            WBase).otherwise(-WBase)
+          + lit(WDist) * RelationScorer.disBucketCol(col("min_sent_dist"))
+          + lit(WCoocUnit) * least(col("n_cooc"), lit(CoocCap.toLong)).cast("int")
+          + when(array_contains(col("sugg_rels"), col("pred")), WDirect).otherwise(0)
+          + lit(WNbrUnit) * least(col("shared_nbrs"), lit(NbrCap))
+          + lit(WCorefUnit) * (least(col("h_coref"), lit(CorefCap))
+            + least(col("t_coref"), lit(CorefCap)))
+          + lit(WAttr) * col("same_inst")).cast("long"))
+      .filter(col("score_milli") > 0)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= RelationScorer.MaxLabels)
+      .select(col("doc_id"), col("h_qid").as("subj"), col("pred"),
+        col("t_qid").as("obj"), col("score_milli"), col("evidence"))
+  }
+
+  /** Full injected path: linked mentions → enriched features → kernel. */
+  def extractInjected(linked: DataFrame, spark: SparkSession): DataFrame =
+    scoreInjected(injectedFeatures(linked, spark), spark)
+}

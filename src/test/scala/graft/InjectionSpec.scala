@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kb.{DocREDVocab, Gazetteer}
+import graft.pipeline.{KnowledgeInjection => KI, RelationScorer, Stages}
+import graft.sources.Pages
+
+/** The knowledge-injection layer: KG/attr/coref features must actually
+  * change decodes (no dataflow-dead enrichment), the kernel must equal its
+  * declarative twin, and the weight design must guarantee that ONLY KB
+  * evidence can flip a base sign. */
+class InjectionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sfDir = "/root/testdata/sf0.001"
+
+  lazy val linked = Stages.linkedFast(
+    Stages.mentionsKernel(Pages.fromDocuments(spark, sfDir), spark), spark).cache()
+  lazy val feats = KI.injectedFeatures(linked, spark).cache()
+
+  test("vocabulary closure: kbRel2rel covers the KB predicates and lands in the 96") {
+    assert(Gazetteer.kgTriples.map(_._2).toSet.subsetOf(Gazetteer.kbRel2rel.map(_._1).toSet),
+      "every KB predicate needs a mapping")
+    assert(Gazetteer.kbRel2rel.map(_._2).toSet.subsetOf(DocREDVocab.relations.toSet),
+      "suggested relations must be in the output vocabulary")
+    assert(Gazetteer.relRules.map(_._3).toSet.subsetOf(DocREDVocab.relations.toSet))
+  }
+
+  test("weight design: soft features alone can never flip a base sign") {
+    val maxSoft = KI.WCoocUnit * KI.CoocCap + KI.WNbrUnit * KI.NbrCap +
+      KI.WCorefUnit * 2 * KI.CorefCap + KI.WAttr
+    assert(maxSoft < KI.WBase, s"soft sum $maxSoft must stay below base ${KI.WBase}")
+    assert(KI.WDist <= 0, "distance can only penalize")
+    // and a direct KB edge always flips: worst case −base + direct − 9·|dist|
+    assert(-KI.WBase + KI.WDirect + KI.WDist * 9 > 0)
+  }
+
+  test("kernel == relational twin, row for row") {
+    val a = KI.scoreInjected(feats, spark)
+      .select(col("doc_id"), col("subj"), col("pred"), col("obj"),
+        col("score_milli"), col("evidence").cast("string"))
+    val b = KI.scoreInjectedRelational(feats)
+      .select(col("doc_id"), col("subj"), col("pred"), col("obj"),
+        col("score_milli"), col("evidence").cast("string"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("KG evidence flips decodes: injected = rule triples ∪ KB-evidenced triples") {
+    val rule = RelationScorer.extract(linked, spark)
+      .select("doc_id", "subj", "pred", "obj").distinct().cache()
+    val inj = KI.extractInjected(linked, spark)
+      .select("doc_id", "subj", "pred", "obj").distinct().cache()
+    // injection never loses a rule triple (soft features can't flip down)
+    assert(rule.exceptAll(inj).count() == 0, "injection must preserve rule decodes")
+    val flips = inj.exceptAll(rule).cache()
+    assert(flips.count() > 0, "KG evidence must flip at least one decode")
+    // every flipped predicate is a KB-suggested relation
+    val flipPreds = flips.select("pred").distinct().collect().map(_.getString(0)).toSet
+    assert(flipPreds.nonEmpty && flipPreds.subsetOf(Gazetteer.kbRel2rel.map(_._2).toSet),
+      s"unexpected flip predicates: $flipPreds")
+    // and each flip is backed by a direct KB edge h→t whose mapped relation
+    // is the flipped predicate (KG evidence, not feature noise)
+    val kb = Gazetteer.kbRel2rel.toMap
+    val edges = Gazetteer.kgTriples.map(t => (t._1, kb(t._2), t._3)).toSet
+    val unexplained = flips.select("subj", "pred", "obj").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .filterNot(edges.contains)
+    assert(unexplained.isEmpty, s"flips without KB edge: ${unexplained.take(5).mkString(",")}")
+  }
+
+  test("controlled flip with exact milli-logits") {
+    // one doc, customer(Q4 PER) + table(Q8 ORG) in one sentence. Rules have
+    // (ORG,PER)→P488 but nothing for (PER,ORG); the KB edge Q4→P463→Q8
+    // suggests P463 for the (Q4, Q8) direction.
+    val one = Seq(
+      (1L, 0, 0, 0, "customer", "Q4", "PER"),
+      (1L, 0, 2, 2, "table", "Q8", "ORG"))
+      .toDF("doc_id", "sent_id", "pos_start", "pos_end", "alias", "qid", "ner_type")
+    val got = KI.extractInjected(one, spark)
+      .select("subj", "pred", "obj", "score_milli").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    // (Q4,P463,Q8): −2000 (no rule) + 100 cooc + 4500 direct = 2600
+    // (Q8,P488,Q4): +2000 (rule) + 100 cooc = 2100
+    assert(got == Set(("Q4", "P463", "Q8", 2600L), ("Q8", "P488", "Q4", 2100L)))
+  }
+
+  test("coref + neighborhood features are live dataflow (nonzero on fixture)") {
+    assert(feats.filter(col("h_coref") > 0).count() > 0, "coref feature dead")
+    assert(feats.filter(col("shared_nbrs") > 0).count() > 0, "neighbor feature dead")
+    assert(feats.filter(col("same_inst") > 0).count() > 0, "attr feature dead")
+    assert(feats.filter(size(col("sugg_rels")) > 0).count() > 0, "direct-edge feature dead")
+  }
+}
