@@ -279,6 +279,14 @@ object SparkEntry {
       ops.Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), 3, 20)
         .orderBy(col("query_id"), col("rank"))),
 
+    "q_ann_lsh" -> ((s, dir) =>
+      // the scale-safe ANN path: candidates from LSH band buckets (uniform
+      // bucket join, never O(Q·N)), exact integer cosine re-rank inside the
+      // candidate set. Same deterministic md5 hyperplanes the oracle replays.
+      ops.Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), 3, 20,
+          EmbBands, EmbBitsPerBand, s)
+        .orderBy(col("query_id"), col("rank"))),
+
     "q_embed_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup via LSH band buckets (the 100 TB shape:
       // candidate generation is a uniform bucket self-join, never all-pairs;
@@ -783,6 +791,42 @@ object SparkEntry {
         SELECT a_id AS query_id, b_id AS neighbor_id, CAST(SUM(av * bv) AS BIGINT) AS dot FROM (
           SELECT a.vec_id AS a_id, b.vec_id AS b_id, unnest(a.q) AS av, unnest(b.q) AS bv
           FROM qn2 a, qn2 b WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id)
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT d.query_id, d.neighbor_id, d.dot,
+               row_number() OVER (PARTITION BY d.query_id
+                 ORDER BY CAST(d.dot AS DOUBLE) / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) DESC,
+                          d.neighbor_id ASC) AS rank
+        FROM dots d
+        JOIN qn2 na ON d.query_id = na.vec_id
+        JOIN qn2 nb ON d.neighbor_id = nb.vec_id)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "q_ann_lsh" -> s"""
+      WITH qn AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+        FROM embeddings),
+      qn2 AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2 FROM qn),
+      qd AS (SELECT vec_id, unnest(q) AS qv, unnest(range(len(q))) AS d FROM qn2),
+      bits AS (
+        SELECT vec_id, j,
+               CASE WHEN SUM(qv * CASE WHEN substring(md5(j::VARCHAR || '|' || d::VARCHAR), 1, 1) >= '8'
+                                  THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+        FROM qd, (SELECT unnest(range(${EmbBands * EmbBitsPerBand})) AS j) GROUP BY 1, 2),
+      sigs AS (
+        SELECT vec_id, CAST(j // $EmbBitsPerBand AS INT) AS band,
+               CAST(SUM(bit * CAST(pow(2, j % $EmbBitsPerBand) AS BIGINT)) AS BIGINT) AS sig
+        FROM bits GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+      dots AS (
+        SELECT query_id, neighbor_id, CAST(SUM(av * bv) AS BIGINT) AS dot FROM (
+          SELECT c.query_id, c.neighbor_id, unnest(a.q) AS av, unnest(b.q) AS bv
+          FROM cand c JOIN qn2 a ON c.query_id = a.vec_id JOIN qn2 b ON c.neighbor_id = b.vec_id)
         GROUP BY 1, 2),
       ranked AS (
         SELECT d.query_id, d.neighbor_id, d.dot,

@@ -118,7 +118,22 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine above threshold (permille),
-    * restricted to LSH bucket mates — the dedup-by-embedding operator. */
+    * restricted to LSH bucket mates — the dedup-by-embedding operator.
+    *
+    * RECALL MODEL (this is approximate by design — a qualifying pair that
+    * collides in NO band is dropped): for cosine c, two vectors agree on one
+    * random-hyperplane bit with p = 1 − arccos(c)/π, so
+    *   P(miss) = (1 − p^bitsPerBand)^bands.
+    * At the dedup operating point (8 bands × 4 bits):
+    *   c = 0.999 → p ≈ 0.9899 → miss ≈ 2.8e-5
+    *   c = 0.99  → p ≈ 0.9680 → miss ≈ 2.7e-3
+    *   c = 0.95  → p ≈ 0.8989 → miss ≈ 4.3e-2
+    *   c = 0.80  → p ≈ 0.7952 → miss ≈ 0.23
+    * i.e. excellent for ≥0.99-threshold dedup, NOT for broad 0.8-similarity
+    * search — lower the threshold and you must raise bands (miss falls
+    * exponentially in `bands`). The DuckDB oracle replays the same band
+    * buckets, so it pins the arithmetic, not the recall — the recall bound
+    * is pinned separately by an exact-all-pairs comparison in OpsSpec. */
   def cosineNearDups(embeddings: DataFrame, minCosPermille: Int,
                      bands: Int, bitsPerBand: Int, spark: SparkSession): DataFrame = {
     val q = quantized(embeddings)

@@ -25,7 +25,14 @@ object Skew {
       .select(col(key))
 
   /** Inner equi-join of big ⋈ small on `key`, salted on the hot keys.
-    * Row-for-row equivalent to `big.join(small, key)`. */
+    * Row-for-row equivalent to `big.join(small, key)`.
+    *
+    * The (key, salt) join is pinned to a SHUFFLE (sort-merge) join: salting
+    * only changes anything for shuffle joins — if either side were small
+    * enough to broadcast, the broadcast join would already be skew-immune
+    * and the salt pure overhead. The hint must sit directly on the join
+    * input (hint resolution does not look through the internal hot-set
+    * join). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  hot: DataFrame, factor: Int): DataFrame = {
     val hotSet = broadcast(hot.select(col(key)).distinct()
@@ -41,6 +48,6 @@ object Skew {
           .otherwise(array(lit(0))))
       .withColumn("__salt", explode(col("__salts")))
       .drop("__salts", "__is_hot")
-    bigSalted.join(smallSalted, Seq(key, "__salt")).drop("__salt")
+    bigSalted.join(smallSalted.hint("merge"), Seq(key, "__salt")).drop("__salt")
   }
 }

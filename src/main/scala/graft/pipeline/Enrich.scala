@@ -46,21 +46,53 @@ object Enrich {
     byHead.union(byTail).distinct()
   }
 
-  /** Entity attributes with reference default-fill, wide format:
-    * (qid, label, description, instance_of, alias). */
-  def attributes(linked: DataFrame, spark: SparkSession): DataFrame = {
-    val qids = linked.select(col("qid")).distinct()
-    val wide = kgAttrs(spark).groupBy("qid").agg(
-      max(when(col("kind") === "label", col("text"))).as("label_raw"),
-      max(when(col("kind") === "description", col("text"))).as("desc_raw"),
-      max(when(col("kind") === "instance of", col("text"))).as("inst_raw"),
-      max(when(col("kind") === "alias", col("text"))).as("alias_raw"))
-    qids.join(broadcast(wide), Seq("qid"), "left")
+  /** Narrow (qid, kind, text) rows → one wide row per qid with the
+    * reference's default fill applied: description/alias fall back to label,
+    * label to the qid, instance_of to 'entity'. Shared by the broadcast and
+    * big-KB paths. Map-side combinable groupBy — one shuffle on qid. */
+  def resolvedAttrs(attrs: DataFrame): DataFrame =
+    attrs.groupBy("qid").agg(
+        max(when(col("kind") === "label", col("text"))).as("label_raw"),
+        max(when(col("kind") === "description", col("text"))).as("desc_raw"),
+        max(when(col("kind") === "instance of", col("text"))).as("inst_raw"),
+        max(when(col("kind") === "alias", col("text"))).as("alias_raw"))
       .select(
         col("qid"),
         coalesce(col("label_raw"), col("qid")).as("label"),
         coalesce(col("desc_raw"), col("label_raw"), col("qid")).as("description"),
         coalesce(col("inst_raw"), lit("entity")).as("instance_of"),
         coalesce(col("alias_raw"), col("label_raw"), col("qid")).as("alias"))
+
+  /** Entity attributes with reference default-fill, wide format:
+    * (qid, label, description, instance_of, alias). Fixture-KB path: the
+    * attr side is tiny, so it broadcasts. */
+  def attributes(linked: DataFrame, spark: SparkSession): DataFrame = {
+    val qids = linked.select(col("qid")).distinct()
+    qids.join(broadcast(resolvedAttrs(kgAttrs(spark))), Seq("qid"), "left")
+      .select(
+        col("qid"),
+        coalesce(col("label"), col("qid")).as("label"),
+        coalesce(col("description"), col("qid")).as("description"),
+        coalesce(col("instance_of"), lit("entity")).as("instance_of"),
+        coalesce(col("alias"), col("qid")).as("alias"))
   }
+
+  /** J3 at KB scale (north_star: "knowledge-injection features joined in
+    * via sort-merge join on canonical entity id", with "salted
+    * repartitioning on head entities"): attach attributes to a BIG
+    * mention/entity table when the attr side is itself too big to broadcast
+    * (the reference streams a 1.3M-attr corpus, `gen_kg_data.py:576-627`;
+    * at 10^12 docs both sides are huge and qid popularity is Zipfian).
+    *
+    * The merge hint pins a sort-merge join — never a broadcast of the attr
+    * side — and `Skew.saltedJoin` spreads the hot qids across `saltFactor`
+    * shuffle partitions (the attr side replicates only its hot rows).
+    * Row-for-row equal to `mentions ⋈ resolvedAttrs(attrs)` (ScaleJoinSpec). */
+  def attachAttributesLarge(mentions: DataFrame, attrs: DataFrame,
+                            hotQids: DataFrame, saltFactor: Int = 8): DataFrame =
+    graft.ops.Skew.saltedJoin(
+      mentions,
+      // attr_alias: mention tables carry their own `alias` (surface form)
+      resolvedAttrs(attrs).withColumnRenamed("alias", "attr_alias"),
+      "qid", hotQids, saltFactor)
 }

@@ -341,6 +341,14 @@ object Stages {
       .toDF("doc_id", "sent_id", "pos_start", "pos_end", "alias")
   }
 
+  /** PRECONDITION: input pages must have UNIQUE doc_id — the per-doc
+    * LinkedHashSet dedup below makes the output globally distinct only
+    * because doc_id is part of the key. With duplicate doc_id rows
+    * (re-ingested doc, replayed partition) this kernel emits duplicate
+    * triples where extractTriplesFused's global distinct() would not;
+    * FusedSpec pins that divergence explicitly. Callers that cannot
+    * guarantee uniqueness must dedup upstream (the runner's per-bucket
+    * overwrite does) or append .distinct(). */
   def extractTriplesKernel(pages: DataFrame, spark: SparkSession): DataFrame = {
     import spark.implicits._
     val byFirstB = spark.sparkContext.broadcast(kernelDict)

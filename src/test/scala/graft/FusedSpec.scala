@@ -50,6 +50,21 @@ class FusedSpec extends AnyFunSuite {
     assert(k2.exceptAll(f2).count() == 0 && f2.exceptAll(k2).count() == 0)
   }
 
+  test("duplicate doc_id input: kernel duplicates, fused dedups — the documented divergence") {
+    import spark.implicits._
+    // the kernel's unique-doc_id PRECONDITION made explicit: same doc_id
+    // twice → kernel emits each triple twice, fused's global distinct once
+    val dup = Seq((1L, "spark joins customer table"),
+                  (1L, "spark joins customer table")).toDF("doc_id", "text")
+    val k = Stages.extractTriplesKernel(dup, spark)
+    val f = Stages.extractTriplesFused(dup, spark)
+    assert(f.count() > 0 && k.count() == 2 * f.count(),
+      "kernel must emit per-input-row; fused must dedup globally")
+    assert(k.distinct().exceptAll(f).count() == 0 &&
+      f.exceptAll(k.distinct()).count() == 0,
+      "after an explicit distinct the kernel matches fused")
+  }
+
   test("mentionsKernel == declarative mentions, row for row") {
     val pages = Pages.fromDocuments(spark, sfDir).cache()
     val k = Stages.mentionsKernel(pages, spark)

@@ -145,6 +145,32 @@ class OpsSpec extends AnyFunSuite {
     assert(got.count() >= 9, s"found only ${got.count()}/10 planted pairs")
   }
 
+  test("cosineNearDups recall vs exact all-pairs at the blessed operating point") {
+    // regression pin for the documented recall model: at threshold 990‰ with
+    // 8 bands × 4 bits the predicted miss rate is ~0.3% — on the planted
+    // corpus the LSH result must recover ≥95% of the EXACT all-pairs result
+    // (computed brute-force here, affordable only at test scale)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = Corpora.withEmbeddingDups(emb).cache()
+    val q = Similarity.quantized(corpus)
+    val exact = q.select(col("vec_id").as("doc_a"), col("q").as("qa"), col("norm2").as("na"))
+      .join(q.select(col("vec_id").as("doc_b"), col("q").as("qb"), col("norm2").as("nb")),
+        col("doc_a") < col("doc_b"))
+      .withColumn("dot", Similarity.dotQ(col("qa"), col("qb")))
+      .filter(col("dot") > 0 &&
+        col("dot").cast("decimal(38,0)") * col("dot") * lit(1000000L) >=
+          lit(990L * 990L) * col("na").cast("decimal(38,0)") * col("nb"))
+      .select("doc_a", "doc_b").cache()
+    val lsh = Similarity.cosineNearDups(corpus, 990, 8, 4, spark)
+      .select("doc_a", "doc_b")
+    val nExact = exact.count()
+    assert(nExact >= 10, s"fixture must plant exact pairs, got $nExact")
+    val recalled = exact.intersect(lsh).count()
+    assert(lsh.exceptAll(exact).count() == 0, "LSH must never emit a sub-threshold pair")
+    assert(recalled.toDouble / nExact >= 0.95,
+      s"LSH recall ${recalled.toDouble / nExact} below documented bound at 990 permille")
+  }
+
   test("multimodal kernel output matches metadata contract") {
     val meta = Multimodal.decodeMeta(docs, spark).toDF().cache()
     assert(meta.filter(col("width") < 32 || col("width") >= 672).count() == 0)
