@@ -138,6 +138,20 @@ object DocRED {
       .distinct()
   }
 
+  /** Adapter: a DocRED/DWIE-shaped annotated corpus → the web runner's page
+    * contract (url, text, lang, doc_id), so DWIE flows through the SAME
+    * TripleExtraction.run → lineage/manifest → triple sinks as web pages
+    * (the reference runs DWIE through the same four models it runs DocRED,
+    * switching only the vocabulary, `ATLOP+KIRE/prepro.py:15-27`). Text is
+    * the token stream re-joined on single spaces; url is a stable synthetic
+    * key so bucketing and resume behave exactly as in production. */
+  def asPages(docs: DataFrame): DataFrame =
+    docs.select(
+      concat(lit("dwie://"), col("title")).as("url"),
+      concat_ws(" ", flatten(col("sents"))).as("text"),
+      lit("en").as("lang"),
+      xxhash64(col("title")).as("doc_id"))
+
   /** Pair features for the scoring kernel from DocRED vertexSet geometry:
     * minimum sentence distance over the mention cross-product (A7) and
     * same-sentence co-occurrence count. */

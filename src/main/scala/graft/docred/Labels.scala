@@ -27,14 +27,18 @@ object Labels {
   val relVocab: Seq[String] = "NA" +: graft.kb.DocREDVocab.relations
 
   /** J5 + A8: every ordered pair with its multi-hot label vector.
-    * Output: (title, h, t, rel_ids, label_vec, is_na). */
-  def labeledPairs(docs: DataFrame): DataFrame = {
+    * Output: (title, h, t, rel_ids, label_vec, is_na). Defaults to the
+    * DocRED vocabulary; DWIE passes its dataset-loaded vocabulary (the
+    * reference's rel2id switch, `ATLOP+KIRE/prepro.py:20-22`). */
+  def labeledPairs(docs: DataFrame): DataFrame = labeledPairs(docs, relVocab)
+
+  def labeledPairs(docs: DataFrame, vocab: Seq[String]): DataFrame = {
     val pairs = DocRED.pairs(docs)
     val labels = docs.select(col("title"), explode(col("labels")).as("l"))
       .select(col("title"), col("l.h").as("h"), col("l.t").as("t"), col("l.r").as("r"))
       .groupBy("title", "h", "t")
       .agg(array_sort(collect_set(col("r"))).as("rels"))
-    val vocabArr = array(relVocab.map(lit): _*)
+    val vocabArr = array(vocab.map(lit): _*)
     pairs.join(labels, Seq("title", "h", "t"), "left")
       .withColumn("rels", coalesce(col("rels"), array()))
       .withColumn("is_na", size(col("rels")) === 0)

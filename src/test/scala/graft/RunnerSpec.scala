@@ -63,6 +63,41 @@ class RunnerSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/triples").count() == total1)
   }
 
+  test("DWIE corpus flows end-to-end through the runner with its own vocabulary") {
+    import graft.docred.{DocRED, Labels}
+    import graft.kb.DwieVocab
+    val docs = DocRED.read(spark,
+      getClass.getResource("/dwie_fixture.jsonl").getPath).cache()
+    // (1) the 66-class vocabulary contract: loaded from the dataset's
+    // rel2id.json exactly like the reference (fixture analog here)
+    val vocab = DwieVocab.fromRel2Id(
+      getClass.getResource("/dwie_rel2id.json").getPath)
+    assert(vocab.head == "NA" && vocab.contains("based_in0"))
+    assert(DwieVocab.NumClasses == 66)
+    // (2) gold labels fold over the DWIE vocabulary, not DocRED's
+    val lp = Labels.labeledPairs(docs, vocab).collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> r.getSeq[Boolean](4)).toMap
+    assert(lp((0, 1)).size == vocab.size)
+    assert(lp((0, 1))(vocab.indexOf("based_in0")) && !lp((0, 1))(0))
+    assert(lp((1, 0))(0)) // unlabeled direction is NA
+    // (3) end-to-end through the production runner: pages adapter →
+    // bucketed extraction → lineage manifest → triple partitions
+    val out = Files.createTempDirectory("graft_dwie").toString
+    val m = TripleExtraction.run(DocRED.asPages(docs), out, spark, lang = Some("en"))
+    assert(m.docs == 1 && m.triples > 0)
+    val written = spark.read.parquet(s"$out/triples")
+      .select("subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // sentence 1 ("the table group hosts spark .") links spark(Q1 MISC),
+    // table(Q8 ORG), group(Q18 ORG): rules (MISC,ORG)→P127 and
+    // (ORG,ORG)→P355 fire over the ordered pairs
+    assert(written == Set(
+      ("Q1", "P127", "Q8"), ("Q1", "P127", "Q18"),
+      ("Q18", "P355", "Q8"), ("Q8", "P355", "Q18")))
+    // resume is a no-op, same as the web path
+    assert(TripleExtraction.run(DocRED.asPages(docs), out, spark).buckets.isEmpty)
+  }
+
   test("partial manifest: only missing buckets are replayed") {
     val out = Files.createTempDirectory("graft_run2").toString
     val pages = Pages.fromDocuments(spark, sfDir)
