@@ -119,9 +119,10 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("alias"))
     }),
     "q_pairs" -> ((s, dir) => {
+      // production (kernel) mention path — linkedFast ≡ the relational vote
+      // (FusedSpec); q_linked keeps the staged-vote showcase
       val pages = Pages.fromDocuments(s, dir)
-      val ments = Stages.mentions(pages, s).cache()
-      val linked = Stages.linked(ments, s)
+      val linked = Stages.linkedFast(Stages.mentionsKernel(pages, s), s)
       Stages.pairs(linked)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_pairs"),
