@@ -53,10 +53,14 @@ object TripleExtraction {
 
   /** Run (or resume) the extraction job. `lang` applies the P10 language
     * predicate (input_hint lang column) — partition-prunable at the Iceberg
-    * scan in production. Returns metrics for the buckets processed in THIS
-    * invocation (empty if everything was already done). */
+    * scan in production. `inject = true` scores through the
+    * knowledge-injection kernel (KIRE's actual configuration: KG structure,
+    * attributes, and coref fused into the decode) instead of the base
+    * scorer — same sinks, lineage, and resume semantics. Returns metrics
+    * for the buckets processed in THIS invocation (empty if everything was
+    * already done). */
   def run(pages: DataFrame, outDir: String, spark: SparkSession,
-          lang: Option[String] = None): RunMetrics = {
+          lang: Option[String] = None, inject: Boolean = false): RunMetrics = {
     Files.createDirectories(Paths.get(outDir))
     val done = doneBuckets(outDir)
     val pending = (0 until NumBuckets).filterNot(done)
@@ -72,9 +76,11 @@ object TripleExtraction {
     val nDocs = work.count()
 
     // production path: linkedFast (single broadcast probe) — the relational
-    // vote variant (Stages.linked) embeds the mention lineage twice
-    val linked = Stages.linkedFast(Stages.mentionsKernel(work, spark), spark)
-    val scored = RelationScorer.extract(linked, spark)
+    // vote variant (Stages.linked) embeds the mention lineage twice.
+    // cache: the injected feature build walks linked four ways
+    val linked = Stages.linkedFast(Stages.mentionsKernel(work, spark), spark).cache()
+    val scored = (if (inject) KnowledgeInjection.extractInjected(linked, spark)
+                  else RelationScorer.extract(linked, spark))
       .select("doc_id", "subj", "pred", "obj")
     val canonical = Canonicalize(scored, linked, spark)
       .join(work.select(col("doc_id"), col("bucket")).distinct(), Seq("doc_id"))
@@ -96,6 +102,7 @@ object TripleExtraction {
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }
     work.unpersist()
+    linked.unpersist()
     canonical.unpersist()
     RunMetrics(pending, nDocs, totalTriples, System.currentTimeMillis() - t0)
   }

@@ -63,6 +63,28 @@ class RunnerSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/triples").count() == total1)
   }
 
+  test("injected runner mode == canonicalized injection pipeline, and flips survive sinks") {
+    val out = Files.createTempDirectory("graft_inj").toString
+    val pages = Pages.fromDocuments(spark, sfDir)
+    val m = TripleExtraction.run(pages, out, spark, inject = true)
+    assert(m.triples > 0)
+    val written = spark.read.parquet(s"$out/triples")
+      .select("doc_id", "subj", "pred", "obj")
+    val linked = Stages.linkedFast(
+      Stages.mentionsKernel(pages, spark), spark).cache()
+    val direct = Canonicalize(
+      pipeline.KnowledgeInjection.extractInjected(linked, spark)
+        .select("doc_id", "subj", "pred", "obj").distinct(),
+      linked, spark)
+    assert(written.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(written).count() == 0)
+    // KB-evidenced predicates reach the sink (the injection isn't lost in
+    // canonicalization): at least one written pred is KB-suggested-only
+    val ruleOnly = graft.kb.Gazetteer.relRules.map(_._3).toSet
+    val preds = written.select("pred").distinct().collect().map(_.getString(0)).toSet
+    assert((preds -- ruleOnly).nonEmpty, s"no injected predicate survived: $preds")
+  }
+
   test("DWIE corpus flows end-to-end through the runner with its own vocabulary") {
     import graft.docred.{DocRED, Labels}
     import graft.kb.DwieVocab
