@@ -119,23 +119,36 @@ object KnowledgeInjection {
     * set (the type-pair weight table's support). */
   def scoreInjected(features: DataFrame, spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val ruleSetB = spark.sparkContext.broadcast(Gazetteer.relRules.toSet)
-    val rels = RelationScorer.relations
+    // compiled weights: one base array per (hType, tType), aligned with the
+    // relation vocabulary — the 96-class loop is a flat integer array walk,
+    // not 96 tuple-keyed map probes per pair
+    val relsArr = RelationScorer.relations.toArray
+    val relIndex = relsArr.zipWithIndex.toMap
+    val ruleSet = Gazetteer.relRules.toSet
+    val types = graft.kb.DocREDVocab.nerTypes
+    val baseMap: Map[(String, String), Array[Long]] =
+      (for { h <- types; t <- types } yield (h, t) ->
+        relsArr.map(r => if (ruleSet.contains((h, t, r))) WBase.toLong else -WBase.toLong)).toMap
+    val defaultBase = relsArr.map(_ => -WBase.toLong)
+    val bw = spark.sparkContext.broadcast((relsArr, relIndex, baseMap, defaultBase))
     features.as[InjectedFeature].mapPartitions { it =>
-      val ruleSet = ruleSetB.value
+      val (rels, relIdx, base, default) = bw.value
       it.flatMap { p =>
-        val soft = WDist * RelationScorer.disBucket(p.min_sent_dist) +
+        val soft = (WDist * RelationScorer.disBucket(p.min_sent_dist) +
           WCoocUnit * math.min(p.n_cooc, CoocCap.toLong).toInt +
           WNbrUnit * math.min(p.shared_nbrs, NbrCap) +
           WCorefUnit * (math.min(p.h_coref, CorefCap) + math.min(p.t_coref, CorefCap)) +
-          WAttr * p.same_inst
-        val sugg = p.sugg_rels.toSet
-        rels.map { r =>
-            val base = if (ruleSet.contains((p.h_type, p.t_type, r))) WBase else -WBase
-            r -> (base + soft + (if (sugg.contains(r)) WDirect else 0)).toLong
-          }
-          .filter(_._2 > 0L)
-          .sortBy { case (r, l) => (-l, r) }
+          WAttr * p.same_inst).toLong
+        val b = base.getOrElse((p.h_type, p.t_type), default)
+        val suggIdx = p.sugg_rels.iterator.flatMap(relIdx.get).toSet
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        var i = 0
+        while (i < rels.length) {
+          val s = b(i) + soft + (if (suggIdx.contains(i)) WDirect.toLong else 0L)
+          if (s > 0L) buf += ((rels(i), s))
+          i += 1
+        }
+        buf.sortBy { case (r, l) => (-l, r) }
           .take(RelationScorer.MaxLabels)
           .map { case (r, l) => InjScoredTriple(p.doc_id, p.h_qid, r, p.t_qid, l, p.evidence) }
       }

@@ -68,6 +68,38 @@ object RelationScorer {
     Weights(all.toMap, wDist = -0.05, wCooc = 0.1, wPool = 0.0)
   }
 
+  /** Weights compiled for the kernel hot loop: per (hType, tType) ONE array
+    * of base logits aligned with `relations` — one hash probe per PAIR
+    * instead of one tuple-keyed probe per (pair, relation); the 96-class
+    * loop is then a flat array walk. Output-identical to scoring from the
+    * raw Weights map (same getOrElse(-2.0) default). */
+  private[pipeline] case class Compiled(rels: Array[String],
+      base: Map[(String, String), Array[Double]], default: Array[Double],
+      wDist: Double, wCooc: Double, wPool: Double)
+
+  private[pipeline] def compile(w: Weights): Compiled = {
+    val rels = relations.toArray
+    val typePairs = w.typePair.keysIterator.map(k => (k._1, k._2)).toSet
+    val base = typePairs.iterator.map { case (h, t) =>
+      (h, t) -> rels.map(r => w.typePair.getOrElse((h, t, r), -2.0))
+    }.toMap
+    Compiled(rels, base, rels.map(_ => -2.0), w.wDist, w.wCooc, w.wPool)
+  }
+
+  /** Adaptive-threshold decode over a compiled base array: positives only
+    * (few), ordered by (−logit, relation), capped at MaxLabels. */
+  private[pipeline] def decode(cw: Compiled, base: Array[Double], soft: Double,
+      extra: Int => Double = _ => 0.0): Seq[(String, Double)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var i = 0
+    while (i < cw.rels.length) {
+      val s = base(i) + soft + extra(i)
+      if (s > 0.0) buf += ((cw.rels(i), s))
+      i += 1
+    }
+    buf.sortBy { case (r, s) => (-s, r) }.take(MaxLabels).toSeq
+  }
+
   case class PairFeature(doc_id: Long, h_qid: String, h_type: String,
                          t_qid: String, t_type: String,
                          min_sent_dist: Int, n_cooc: Long,
@@ -115,20 +147,15 @@ object RelationScorer {
     * each partition streams rows through the scorer. */
   def score(features: DataFrame, spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val bw = spark.sparkContext.broadcast(fixtureWeights)
-    val rels = relations
+    val bw = spark.sparkContext.broadcast(compile(fixtureWeights))
     features.as[PairFeature].mapPartitions { it =>
       val w = bw.value // one fetch per partition
       it.flatMap { p =>
-        val logits = rels.map { r =>
-          val base = w.typePair.getOrElse((p.h_type, p.t_type, r), -2.0)
-          r -> (base + w.wDist * disBucket(p.min_sent_dist) +
-            w.wCooc * math.log1p(p.n_cooc.toDouble))
-        }
+        val base = w.base.getOrElse((p.h_type, p.t_type), w.default)
+        val soft = w.wDist * disBucket(p.min_sent_dist) +
+          w.wCooc * math.log1p(p.n_cooc.toDouble)
         // adaptive-threshold decode: logit > 0 (TH logit), top MaxLabels
-        logits.filter(_._2 > 0.0)
-          .sortBy { case (r, s) => (-s, r) }
-          .take(MaxLabels)
+        decode(w, base, soft)
           .map { case (r, s) => ScoredTriple(p.doc_id, p.h_qid, r, p.t_qid, s, p.evidence) }
       }
     }.toDF()
@@ -202,8 +229,7 @@ object RelationScorer {
     * `score` — pinned in VectorLogSumExpSpec. */
   def scorePooled(features: DataFrame, spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val bw = spark.sparkContext.broadcast(fixtureWeights)
-    val rels = relations
+    val bw = spark.sparkContext.broadcast(compile(fixtureWeights))
     features.as[PooledPairFeature].mapPartitions { it =>
       val w = bw.value
       it.flatMap { p =>
@@ -211,14 +237,10 @@ object RelationScorer {
         var dot = 0.0
         var i = 0
         while (i < n) { dot += p.h_pool(i) * p.t_pool(i); i += 1 }
-        val logits = rels.map { r =>
-          val base = w.typePair.getOrElse((p.h_type, p.t_type, r), -2.0)
-          r -> (base + w.wDist * disBucket(p.min_sent_dist) +
-            w.wCooc * math.log1p(p.n_cooc.toDouble) + w.wPool * dot)
-        }
-        logits.filter(_._2 > 0.0)
-          .sortBy { case (r, s) => (-s, r) }
-          .take(MaxLabels)
+        val base = w.base.getOrElse((p.h_type, p.t_type), w.default)
+        val soft = w.wDist * disBucket(p.min_sent_dist) +
+          w.wCooc * math.log1p(p.n_cooc.toDouble) + w.wPool * dot
+        decode(w, base, soft)
           .map { case (r, s) => ScoredTriple(p.doc_id, p.h_qid, r, p.t_qid, s, p.evidence) }
       }
     }.toDF()
