@@ -65,11 +65,49 @@ object KnowledgeInjection {
   /** Pair features + injected knowledge. Derivation is genuine dataflow from
     * the enrichment operators: direct-edge / shared-neighbor features come
     * from `Enrich.oneHop`'s output, the attribute feature from
-    * `Enrich.attributes`, the coref feature from `Coref.aliasCoref`. */
+    * `Enrich.attributes`, the coref feature from `Coref.aliasCoref`.
+    *
+    * Join shape (the 100× consideration): ENTITY-level knowledge (coref
+    * partner counts, instance-of) attaches before pair formation — k rows
+    * per doc, not the k² pair blowup — and rides through the in-row pair
+    * explode inside the entity structs. The two PAIR-level KG features
+    * (direct edges, shared neighbors) share a key and are pre-merged, so
+    * the big pair table is shuffled for exactly ONE feature join. */
   def injectedFeatures(linked: DataFrame, spark: SparkSession): DataFrame = {
-    val feats = RelationScorer.pairFeatures(linked).filter(col("n_cooc") >= 1)
+    // (b) + (c): entity-level features
+    val inst = Enrich.attributes(linked, spark).select(col("qid"), col("instance_of"))
+    val coref = corefCounts(linked)
 
-    // (a) KG structure from the one-hop subgraph
+    // entity aggregation (the pairFeatures shape) with knowledge columns
+    // carried in the per-entity struct through the in-row pair explode
+    val docEnts = linked.groupBy(col("doc_id"), col("qid"), col("ner_type"))
+      .agg(collect_list(col("sent_id")).as("sents"))
+      .join(coref, Seq("doc_id", "qid"), "left")
+      .join(broadcast(inst), Seq("qid"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("qid"), col("ner_type"), col("sents"),
+        coalesce(col("coref"), lit(0)).as("coref"), col("instance_of"))).as("ents"))
+    val pairs = docEnts
+      .select(col("doc_id"), explode(col("ents")).as("h"), col("ents"))
+      .select(col("doc_id"), col("h"), explode(col("ents")).as("t"))
+      .filter(col("h.qid") =!= col("t.qid"))
+      .select(col("doc_id"),
+        col("h.qid").as("h_qid"), col("h.ner_type").as("h_type"),
+        col("h.sents").as("h_sents"), col("h.coref").as("h_coref"),
+        col("h.instance_of").as("h_inst"),
+        col("t.qid").as("t_qid"), col("t.ner_type").as("t_type"),
+        col("t.sents").as("t_sents"), col("t.coref").as("t_coref"),
+        col("t.instance_of").as("t_inst"))
+      .withColumn("min_sent_dist", expr(
+        "aggregate(h_sents, 2147483647, (acc, a) -> least(acc, " +
+          "aggregate(t_sents, 2147483647, (acc2, b) -> least(acc2, abs(a - b)))))").cast("int"))
+      .withColumn("n_cooc", expr(
+        "aggregate(h_sents, 0L, (acc, a) -> acc + size(filter(t_sents, b -> b = a)))").cast("long"))
+      .withColumn("evidence",
+        array_sort(array_distinct(array_intersect(col("h_sents"), col("t_sents")))))
+      .filter(col("n_cooc") >= 1)
+
+    // (a) pair-level KG structure from the one-hop subgraph, pre-merged
     val hop = Enrich.oneHop(linked, spark)
     val rel2rel = typedLit(Gazetteer.kbRel2rel.toMap)
     val direct = hop.select(col("doc_id"), col("h").as("h_qid"), col("t").as("t_qid"),
@@ -87,30 +125,15 @@ object KnowledgeInjection {
         col("z") =!= col("h_qid") && col("z") =!= col("t_qid"))
       .groupBy("doc_id", "h_qid", "t_qid")
       .agg(countDistinct(col("z")).cast("int").as("shared_nbrs"))
+    val kgPair = direct.join(nbr, Seq("doc_id", "h_qid", "t_qid"), "full")
 
-    // (b) attribute features (instance-of with reference default fill)
-    val inst = Enrich.attributes(linked, spark).select(col("qid"), col("instance_of"))
-
-    // (c) coref features from the coref operator
-    val coref = corefCounts(linked)
-
-    feats
-      .join(direct, Seq("doc_id", "h_qid", "t_qid"), "left")
-      .join(nbr, Seq("doc_id", "h_qid", "t_qid"), "left")
-      .join(broadcast(inst.select(col("qid").as("h_qid"), col("instance_of").as("h_inst"))),
-        Seq("h_qid"))
-      .join(broadcast(inst.select(col("qid").as("t_qid"), col("instance_of").as("t_inst"))),
-        Seq("t_qid"))
-      .join(coref.select(col("doc_id"), col("qid").as("h_qid"), col("coref").as("h_coref")),
-        Seq("doc_id", "h_qid"), "left")
-      .join(coref.select(col("doc_id"), col("qid").as("t_qid"), col("coref").as("t_coref")),
-        Seq("doc_id", "t_qid"), "left")
+    pairs
+      .join(kgPair, Seq("doc_id", "h_qid", "t_qid"), "left")
       .select(col("doc_id"), col("h_qid"), col("h_type"), col("t_qid"), col("t_type"),
         col("min_sent_dist"), col("n_cooc"), col("evidence"),
         coalesce(col("sugg_rels"), array()).as("sugg_rels"),
         coalesce(col("shared_nbrs"), lit(0)).as("shared_nbrs"),
-        coalesce(col("h_coref"), lit(0)).as("h_coref"),
-        coalesce(col("t_coref"), lit(0)).as("t_coref"),
+        col("h_coref"), col("t_coref"),
         (col("h_inst") === col("t_inst")).cast("int").as("same_inst"))
   }
 
