@@ -143,6 +143,23 @@ object SparkEntry {
       Stages.extractTriplesKernel(pages, s)
         .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
     }),
+    "q_stream_triples" -> ((s, dir) => {
+      // Structured Streaming twin of q_triples_kernel: the same kernel over
+      // a multi-file crawl-feed stream, driven to completion — batch-count
+      // invariance of the doc-level output under the same oracle
+      val docsDir = streaming.StreamingExtraction.stageDocsDir(s, dir, 4)
+      streaming.StreamingExtraction
+        .runBoundedDocLevel(s, docsDir, "q_stream_triples_sink", maxFilesPerTrigger = 2)
+        .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
+    }),
+    "q_stream_kb" -> ((s, dir) => {
+      // stateful first-seen KB upsert (flatMapGroupsWithState): union of the
+      // per-micro-batch KG deltas == the batch-distinct KB triple set
+      val docsDir = streaming.StreamingExtraction.stageDocsDir(s, dir, 4)
+      streaming.StreamingExtraction
+        .runBoundedKbUpsert(s, docsDir, "q_stream_kb_sink", maxFilesPerTrigger = 2)
+        .orderBy(col("subj"), col("pred"), col("obj"))
+    }),
 
     // -- KG enrichment / coref / canonicalization / kernel / eval --
     "q_kg_onehop" -> ((s, dir) => {
@@ -469,6 +486,16 @@ object SparkEntry {
       SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
       FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type
       ORDER BY 1, 2, 3, 4""",
+    "q_stream_triples" -> s"""
+      WITH $kbCtes
+      SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
+      FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type
+      ORDER BY 1, 2, 3, 4""",
+    "q_stream_kb" -> s"""
+      WITH $kbCtes
+      SELECT DISTINCT p.h_qid AS subj, r.pred, p.t_qid AS obj
+      FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type
+      ORDER BY 1, 2, 3""",
 
     "q_kg_onehop" -> s"""
       WITH $kbCtes,

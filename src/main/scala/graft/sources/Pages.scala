@@ -28,9 +28,15 @@ object Pages {
     * would serialize every per-doc UDF on one task — repartition up front so
     * parallelism matches the session (at production scale the Iceberg scan
     * yields thousands of splits and this is a no-op cost). */
-  def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .repartition(spark.sparkContext.defaultParallelism * 2)
+  def fromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    derive(spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism * 2))
+
+  /** The deterministic documents→pages column derivation, shared by the
+    * batch reader above and the streaming reader
+    * (`graft.streaming.StreamingExtraction.pagesStream`) — stream and batch
+    * must see byte-identical pages for the stream==batch pins to hold. */
+  def derive(docs: DataFrame): DataFrame =
     docs
       .withColumn("url", concat(lit("https://example.org/doc/"), col("doc_id")))
       // crawl time: fixed epoch + doc_id hours — deterministic, spreads the
@@ -43,5 +49,4 @@ object Pages {
       // semantics, pinned equal in ExpressionSpec.
       .withColumn("text", graft.functions.ExtractHtmlText(col("html")))
       .select("url", "warc_ts", "html", "text", "lang", "doc_id")
-  }
 }

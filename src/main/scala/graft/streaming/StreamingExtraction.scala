@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.pipeline.Stages
+import graft.sources.Pages
+
+/** Incremental KG construction over a continuous crawl feed — the
+  * Structured Streaming twin of the batch extraction path.
+  *
+  * The reference is batch-only (its corpora are static dumps; SURVEY §2.10),
+  * but the engine's input is a crawl: pages arrive forever, and a production
+  * deployment re-runs extraction per crawl increment. This module expresses
+  * that as a streaming job instead of scheduled batches:
+  *
+  *   readStream(pages) → mapPartitions extraction kernel → first-seen upsert
+  *
+  * Scale design:
+  *  - The extraction kernel (`Stages.extractTriplesKernel`) is a stateless
+  *    per-partition transform, so it lifts onto the stream UNCHANGED — same
+  *    broadcast dictionaries, same per-doc dedup, zero shuffle per batch.
+  *    Stream rows are pinned identical to the batch kernel in StreamingSpec.
+  *  - Doc-level triples (doc_id in the key) need NO cross-batch state: the
+  *    kernel's per-doc dedup plus unique doc_id (the kernel's documented
+  *    precondition) already make output globally distinct.
+  *  - KB-level triples (doc_id dropped) DO need cross-batch state — the same
+  *    (subj, pred, obj) re-extracted from a later crawl batch must not be
+  *    re-emitted. `netNewTriples` keeps one boolean state entry per distinct
+  *    triple via flatMapGroupsWithState and emits each triple exactly once,
+  *    in the first micro-batch that produces it: each batch's output is the
+  *    KG delta, ready for an append-only sink or a MERGE via foreachBatch.
+  *    State size is |KG|, not |input| — at 100 TB back it with the RocksDB
+  *    state store (spark.sql.streaming.stateStore.providerClass) and shard
+  *    via spark.sql.shuffle.partitions; the alternative with bounded state,
+  *    dropDuplicatesWithinWatermark on warc_ts, trades exactness for a
+  *    retention horizon and is the right call when the sink itself dedups.
+  */
+object StreamingExtraction {
+
+  case class KbTriple(subj: String, pred: String, obj: String)
+
+  /** Streaming pages source over a directory of documents-schema parquet
+    * files. `maxFilesPerTrigger` bounds each micro-batch (a crawl increment
+    * in the sandbox); the column derivation is byte-identical to the batch
+    * `Pages.fromDocuments`. */
+  def pagesStream(spark: SparkSession, docsDir: String,
+                  maxFilesPerTrigger: Int = Int.MaxValue): DataFrame = {
+    val schema = spark.read.parquet(docsDir).schema
+    Pages.derive(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(docsDir))
+  }
+
+  /** Per-batch doc-level extraction: the batch mapPartitions kernel applied
+    * to the stream. Stateless — no watermark, no shuffle. */
+  def triples(pages: DataFrame, spark: SparkSession): DataFrame =
+    Stages.extractTriplesKernel(pages, spark)
+
+  /** First-seen KB upsert: emits each distinct (subj, pred, obj) exactly
+    * once across the whole stream, in the micro-batch that first extracts
+    * it. One boolean state entry per distinct triple (see scale note above). */
+  def netNewTriples(docTriples: DataFrame, spark: SparkSession): Dataset[KbTriple] = {
+    import spark.implicits._
+    docTriples.select(col("subj"), col("pred"), col("obj")).as[KbTriple]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Boolean, KbTriple](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (triple: KbTriple, _: Iterator[KbTriple], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(triple) }
+      }
+  }
+
+  /** Full streaming path over a bounded documents dir, driven to completion
+    * into a memory sink (test/sandbox harness; production uses a parquet /
+    * foreachBatch-MERGE sink). Returns the collected table. */
+  def runBoundedDocLevel(spark: SparkSession, docsDir: String, name: String,
+                         maxFilesPerTrigger: Int = Int.MaxValue): DataFrame = {
+    val q = triples(pagesStream(spark, docsDir, maxFilesPerTrigger), spark)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  /** Bounded run of the stateful KB upsert (memory sink). */
+  def runBoundedKbUpsert(spark: SparkSession, docsDir: String, name: String,
+                         maxFilesPerTrigger: Int = Int.MaxValue): DataFrame = {
+    val q = netNewTriples(
+        triples(pagesStream(spark, docsDir, maxFilesPerTrigger), spark), spark)
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  /** Stage a single documents.parquet into an n-file directory — the sandbox
+    * stand-in for a crawl feed directory (each file ≈ one crawl increment).
+    * Deterministic content; idempotent per (sfDir, n) via marker file. */
+  def stageDocsDir(spark: SparkSession, sfDir: String, n: Int): String = {
+    val out = s"/tmp/graft_stream_docs_${n}f_" +
+      sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val done = new java.io.File(out, "_SUCCESS")
+    if (!done.exists()) {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(n).write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+}
