@@ -25,6 +25,8 @@ object SparkEntry {
   /** LSH parameters shared by q_embed_neardup's Spark plan and its oracle. */
   val EmbBands = 8
   val EmbBitsPerBand = 4
+  val IvfNlist = 8
+  val IvfNprobe = 2
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full pages → triples pipeline. */
@@ -303,6 +305,14 @@ object SparkEntry {
       // candidate set. Same deterministic md5 hyperplanes the oracle replays.
       ops.Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), 3, 20,
           EmbBands, EmbBitsPerBand, s)
+        .orderBy(col("query_id"), col("rank"))),
+
+    "q_ann_ivf" -> ((s, dir) =>
+      // inverted-file ANN: in-row cell assignment against a broadcast
+      // codebook (zero-shuffle corpus scan), nprobe-cell probe, exact
+      // re-rank — the third ANN shape (vs brute force and LSH)
+      ops.Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 3, 20,
+          IvfNlist, IvfNprobe, s)
         .orderBy(col("query_id"), col("rank"))),
 
     "q_embed_neardup" -> ((s, dir) => {
@@ -851,6 +861,45 @@ object SparkEntry {
         SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
         FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
         WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+      dots AS (
+        SELECT query_id, neighbor_id, CAST(SUM(av * bv) AS BIGINT) AS dot FROM (
+          SELECT c.query_id, c.neighbor_id, unnest(a.q) AS av, unnest(b.q) AS bv
+          FROM cand c JOIN qn2 a ON c.query_id = a.vec_id JOIN qn2 b ON c.neighbor_id = b.vec_id)
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT d.query_id, d.neighbor_id, d.dot,
+               row_number() OVER (PARTITION BY d.query_id
+                 ORDER BY CAST(d.dot AS DOUBLE) / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) DESC,
+                          d.neighbor_id ASC) AS rank
+        FROM dots d
+        JOIN qn2 na ON d.query_id = na.vec_id
+        JOIN qn2 nb ON d.neighbor_id = nb.vec_id)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "q_ann_ivf" -> s"""
+      WITH qn AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+        FROM embeddings),
+      qn2 AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2 FROM qn),
+      cents AS (SELECT vec_id AS cell, q AS cq, norm2 AS cn FROM qn2 WHERE vec_id < $IvfNlist),
+      vcdot AS (
+        SELECT v_id AS vec_id, cell, CAST(SUM(av * bv) AS BIGINT) AS cdot FROM (
+          SELECT v.vec_id AS v_id, c.cell, unnest(v.q) AS av, unnest(c.cq) AS bv
+          FROM qn2 v, cents c)
+        GROUP BY 1, 2),
+      vcells AS (
+        SELECT d.vec_id, d.cell,
+               row_number() OVER (PARTITION BY d.vec_id
+                 ORDER BY CAST(d.cdot AS DOUBLE) / sqrt(CAST(v.norm2 AS DOUBLE) * CAST(c.cn AS DOUBLE)) DESC,
+                          d.cell ASC) AS crk
+        FROM vcdot d JOIN qn2 v ON d.vec_id = v.vec_id JOIN cents c ON d.cell = c.cell),
+      assign AS (SELECT vec_id, cell FROM vcells WHERE crk = 1),
+      probes AS (SELECT vec_id, cell FROM vcells WHERE crk <= $IvfNprobe AND vec_id < 20),
+      cand AS (
+        SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON p.cell = a.cell WHERE p.vec_id <> a.vec_id),
       dots AS (
         SELECT query_id, neighbor_id, CAST(SUM(av * bv) AS BIGINT) AS dot FROM (
           SELECT c.query_id, c.neighbor_id, unnest(a.q) AS av, unnest(b.q) AS bv

@@ -117,6 +117,64 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "dot")
   }
 
+  /** IVF (inverted-file) ANN: a coarse codebook of `nlist` centroids
+    * partitions the corpus into cells; each query probes only its `nprobe`
+    * nearest cells and re-ranks exactly inside them — the third ANN shape
+    * next to brute force (O(Q·N)) and LSH (bucket join).
+    *
+    * Codebook: the embeddings of the `nlist` lowest vec_ids, deterministic
+    * by construction so the DuckDB oracle replays it exactly. (At production
+    * scale the codebook comes from k-means — expressible as iterative
+    * DataFrame aggregations over a sample — but the scale-bearing dataflow
+    * this operator pins is ASSIGN + PROBE + RERANK, which is codebook-
+    * agnostic.)
+    *
+    * Scale shape: the codebook is collected to ONE row and broadcast
+    * (nlist·dims ints — ~64 MB at nlist 2¹⁶ × dims 128, broadcastable);
+    * cell assignment is an in-row argmax over that array — ZERO shuffle for
+    * the corpus scan, no N×nlist row blowup. The only shuffle is the
+    * candidate join keyed by cell (mean fan-in N/nlist; a hot cell is an
+    * AQE skew-join / `Skew.saltedJoin` case). Ties (equal cosine) break to
+    * the lowest cell id in both engines. */
+  def ivfTopK(embeddings: DataFrame, k: Int, probeMaxId: Long,
+              nlist: Int, nprobe: Int, spark: SparkSession): DataFrame = {
+    val q = quantized(embeddings)
+    val codebook = q.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cell"), col("q").as("cq"), col("norm2").as("cn"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("cq"), col("cn")))).as("cents"))
+    // (-cosine, cell) structs sort lexicographically = cosine desc, cell asc
+    val byCell = q.crossJoin(broadcast(codebook))
+      .withColumn("ranked_cells", array_sort(
+        transform(col("cents"), c => struct(
+          (lit(-1.0) * dotQ(col("q"), c.getField("cq")).cast("double") /
+            sqrt(col("norm2").cast("double") * c.getField("cn").cast("double")))
+            .as("negcos"),
+          c.getField("cell").as("cell")))))
+      .drop("cents")
+    val assigned = byCell
+      .withColumn("cell", element_at(col("ranked_cells"), 1).getField("cell"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("q").as("qb"), col("norm2").as("nb"))
+    val probes = byCell.filter(col("vec_id") < probeMaxId)
+      .select(col("vec_id").as("query_id"),
+        explode(transform(slice(col("ranked_cells"), 1, nprobe),
+          c => c.getField("cell"))).as("cell"),
+        col("q").as("qa"), col("norm2").as("na"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // a neighbor reachable through two probed cells must count once; rows
+      // for the same pair are identical (same vectors), so keep-any is exact
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("dot", dotQ(col("qa"), col("qb")))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "dot")
+  }
+
   /** Embedding near-duplicate pairs: cosine above threshold (permille),
     * restricted to LSH bucket mates — the dedup-by-embedding operator.
     *

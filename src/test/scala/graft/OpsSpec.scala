@@ -120,6 +120,25 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.lshTopK(emb, 3, 20, 8, 4, spark).count() > 0)
   }
 
+  test("IVF ANN concentrates true neighbors better than uniform sampling") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val n = emb.count()
+    val bf = Similarity.bruteForceTopK(emb, 3, 20).select("query_id", "neighbor_id")
+    val ivf = Similarity.ivfTopK(emb, 3, 20, SparkEntry.IvfNlist, SparkEntry.IvfNprobe, spark)
+      .select("query_id", "neighbor_id").cache()
+    // candidate volume bound: nprobe of nlist cells → expected scanned
+    // fraction ≈ nprobe/nlist of the corpus per query
+    val hit = ivf.intersect(bf).count().toDouble / bf.count()
+    val scannedFrac = SparkEntry.IvfNprobe.toDouble / SparkEntry.IvfNlist
+    // cells group similar vectors, so top-k recall must beat the scanned
+    // fraction by a wide margin (uniform sampling would give hit ≈ frac)
+    assert(hit >= 1.5 * scannedFrac,
+      s"IVF no better than sampling: recall=$hit scannedFrac=$scannedFrac")
+    assert(hit >= 0.4, s"absolute recall too low: $hit")
+    // every query returns exactly k ranked rows (cells are never empty here)
+    assert(ivf.count() == 60)
+  }
+
   test("winnowing: shared substrings of length >= w+k-1 share a fingerprint") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank"
     val b = "completely different prefix text " + a.substring(10) // long shared suffix
