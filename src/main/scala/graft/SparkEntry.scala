@@ -307,6 +307,26 @@ object SparkEntry {
           EmbBands, EmbBitsPerBand, s)
         .orderBy(col("query_id"), col("rank"))),
 
+    "q_npy_scan" -> ((s, dir) => {
+      // S8 .npy tensor scan: the embeddings table round-tripped through a
+      // real NumPy v1.0 float32 blob and scanned back distributed — the
+      // oracle reads the SAME rows straight from parquet, so header codec,
+      // row order, and float32 bit-exactness are all under the gate
+      val npyPath = s"/tmp/graft_npy_" +
+        dir.replaceAll("[^a-zA-Z0-9.]", "_") + ".npy"
+      if (!new java.io.File(npyPath).exists()) {
+        val rows = s.read.parquet(s"$dir/embeddings.parquet")
+          .orderBy(col("vec_id")).select(col("embedding"))
+          .collect().map(_.getSeq[Float](0).toArray)
+        sources.Npy.writeFloatMatrix(npyPath, rows.toSeq)
+      }
+      // exploded to scalars: the driver's hash compare needs flat columns,
+      // and per-element equality is the stronger bit-exactness claim anyway
+      sources.Npy.scan(s, npyPath)
+        .select(col("row_idx"), posexplode(col("vector")).as(Seq("dim", "value")))
+        .select(col("row_idx"), col("dim").cast("long").as("dim"), col("value"))
+        .orderBy(col("row_idx"), col("dim"))
+    }),
     "q_ann_ivf" -> ((s, dir) =>
       // inverted-file ANN: in-row cell assignment against a broadcast
       // codebook (zero-shuffle corpus scan), nprobe-cell probe, exact
@@ -877,6 +897,15 @@ object SparkEntry {
       SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
 
+    "q_npy_scan" -> """
+      WITH e AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS row_idx,
+               embedding
+        FROM embeddings)
+      SELECT row_idx,
+             CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS value
+      FROM e ORDER BY 1, 2""",
     "q_ann_ivf" -> s"""
       WITH qn AS (
         SELECT vec_id,
