@@ -307,6 +307,24 @@ object SparkEntry {
           EmbBands, EmbBitsPerBand, s)
         .orderBy(col("query_id"), col("rank"))),
 
+    "q_na_downsample" -> ((s, dir) => {
+      // P9: deterministic NA down-sampling for training-set generation —
+      // content-hash keep at the reference's 0.5 (hex '800'/4096), positives
+      // always kept, per-doc at-least-one-NA rescue
+      val linked = Stages.linkedFast(Stages.mentionsKernel(Pages.fromDocuments(s, dir), s), s)
+      val ruleMap = typedLit(
+        Gazetteer.relRules.map(r => (r._1 + "|" + r._2) -> r._3).toMap)
+      val pairs = Stages.pairs(linked)
+        .select(col("doc_id"), col("h_qid").as("h"), col("t_qid").as("t"),
+          col("h_type"), col("t_type"))
+        .distinct()
+        .withColumn("is_na",
+          element_at(ruleMap, concat_ws("|", col("h_type"), col("t_type"))).isNull)
+        .select("doc_id", "h", "t", "is_na")
+      ops.Sampling.downsampleNa(pairs, "800")
+        .withColumn("is_na", col("is_na").cast("int"))
+        .orderBy("doc_id", "h", "t")
+    }),
     "q_npy_scan" -> ((s, dir) => {
       // S8 .npy tensor scan: the embeddings table round-tripped through a
       // real NumPy v1.0 float32 blob and scanned back distributed — the
@@ -897,6 +915,29 @@ object SparkEntry {
       SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
 
+    "q_na_downsample" -> s"""
+      WITH $kbCtes,
+      ruletp AS (SELECT DISTINCT h_type, t_type FROM rules),
+      labeled AS (
+        SELECT DISTINCT p.doc_id, p.h_qid AS h, p.t_qid AS t,
+               (r.h_type IS NULL) AS is_na
+        FROM prs p LEFT JOIN ruletp r
+          ON p.h_type = r.h_type AND p.t_type = r.t_type),
+      keyed AS (
+        SELECT *, substring(md5(doc_id::VARCHAR || '|' || h || '|' || t), 1, 3) AS hh
+        FROM labeled),
+      sampled_na AS (SELECT * FROM keyed WHERE is_na AND hh < '800'),
+      rescue AS (
+        SELECT doc_id, h, t, is_na FROM (
+          SELECT k.*, row_number() OVER (PARTITION BY doc_id ORDER BY hh, h, t) AS rk
+          FROM keyed k WHERE is_na) x
+        WHERE rk = 1 AND hh >= '800'
+          AND doc_id NOT IN (SELECT doc_id FROM sampled_na))
+      SELECT doc_id, h, t, CAST(is_na AS INT) AS is_na FROM (
+        SELECT doc_id, h, t, is_na FROM keyed WHERE NOT is_na
+        UNION ALL SELECT doc_id, h, t, is_na FROM sampled_na
+        UNION ALL SELECT doc_id, h, t, is_na FROM rescue)
+      ORDER BY 1, 2, 3""",
     "q_npy_scan" -> """
       WITH e AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS row_idx,

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic training-set sampling (SURVEY P9: the reference keeps
+  * NA-labelled pairs with probability `NA_NUM=0.5` during training and
+  * forces at least one NA to survive when the draw would drop them all —
+  * `GLRE+KIRE/nnet/trainer.py:786-794`).
+  *
+  * `rand(seed)` would be partition-count-dependent (Spark's rand is seeded
+  * per partition), so re-execution or AQE re-planning would silently change
+  * the training set. Content-hash sampling is invariant under partitioning,
+  * retries, and engine: keep an NA pair iff the first 3 hex digits of
+  * md5(doc_id|h|t) compare below `hexThreshold` (a 3-hex-digit string;
+  * "800" = 2048/4096 ≈ the reference's 0.5). Positive pairs always pass. */
+object Sampling {
+
+  /** Requires columns doc_id, h, t, is_na. Returns the same columns,
+    * filtered: all positives, NA pairs under the hash threshold, plus the
+    * smallest-hash NA pair of any doc whose NA pairs were all sampled out
+    * (the reference's at-least-one guarantee, per doc instead of per
+    * batch — batches don't exist in the relational re-expression). */
+  def downsampleNa(pairs: DataFrame, hexThreshold: String): DataFrame = {
+    require(hexThreshold.length == 3 &&
+      hexThreshold.forall(c => c.isDigit || ('a' to 'f').contains(c)),
+      s"hexThreshold must be 3 lowercase hex digits, got '$hexThreshold'")
+    val keyed = pairs.withColumn("_h",
+      substring(md5(concat_ws("|", col("doc_id"), col("h"), col("t"))
+        .cast("binary")), 1, 3))
+    val sampledNa = keyed.filter(col("is_na") && col("_h") < hexThreshold)
+    val w = Window.partitionBy("doc_id").orderBy(col("_h"), col("h"), col("t"))
+    val rescue = keyed.filter(col("is_na"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1 && col("_h") >= hexThreshold)
+      .join(sampledNa.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .drop("_rk")
+    keyed.filter(!col("is_na"))
+      .unionByName(sampledNa)
+      .unionByName(rescue)
+      .drop("_h")
+  }
+}

@@ -274,7 +274,7 @@ object Stages {
     while (i < toks.length) {
       val t = toks(i)
       if (t.nonEmpty && isBoundary(t.charAt(t.length - 1))
-          && !abbrevSet.contains(t.toLowerCase)) {
+          && !(t.length <= maxAbbrevLen && abbrevSet.contains(t.toLowerCase))) {
         var s = segStart
         while (s <= i) { spans += ((s, math.min(s + chunk - 1, i))); s += chunk }
         segStart = i + 1
@@ -323,6 +323,9 @@ object Stages {
     * token). Must stay identical to the HOF path's map literal and the
     * oracle's NOT IN list — all three derive from Gazetteer.abbreviations. */
   private val abbrevSet: Set[String] = Gazetteer.abbreviations.toSet
+  // length pre-filter: almost every boundary-final token is a full word
+  // longer than any abbreviation — skip its toLowerCase allocation entirely
+  private val maxAbbrevLen: Int = abbrevSet.iterator.map(_.length).max
 
   /** mapPartitions twin of mentions(): (doc_id, sent_id, pos_start,
     * pos_end, alias) — row-identical (FusedSpec), ~10× cheaper than the

@@ -139,6 +139,29 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.count() == 60)
   }
 
+  test("NA down-sampling: deterministic, positives kept, per-doc rescue") {
+    import spark.implicits._
+    val pairs = (for {
+      doc <- 0L until 40L
+      i <- 0 until 6
+    } yield (doc, s"Q$i", s"Q${i + 1}", i != 0)) // 1 positive + 5 NA per doc
+      .toDF("doc_id", "h", "t", "is_na")
+    val half = Sampling.downsampleNa(pairs, "800").cache()
+    // every positive survives
+    assert(half.filter(!col("is_na")).count() == 40)
+    // keep rate of NA pairs is near 1/2 (200 draws, hash-uniform)
+    val naKept = half.filter(col("is_na")).count()
+    assert(naKept > 60 && naKept < 140, s"NA keep rate off: $naKept/200")
+    // partition-invariant: same rows regardless of physical layout
+    val re = Sampling.downsampleNa(pairs.repartition(17), "800")
+    assert(half.exceptAll(re).count() == 0 && re.exceptAll(half).count() == 0)
+    // threshold 000 drops every NA by hash → the rescue keeps EXACTLY one
+    // NA per doc (the reference's at-least-one guarantee)
+    val none = Sampling.downsampleNa(pairs, "000")
+    val perDoc = none.filter(col("is_na")).groupBy("doc_id").count()
+    assert(perDoc.count() == 40 && perDoc.filter(col("count") =!= 1).count() == 0)
+  }
+
   test("winnowing: shared substrings of length >= w+k-1 share a fingerprint") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank"
     val b = "completely different prefix text " + a.substring(10) // long shared suffix
