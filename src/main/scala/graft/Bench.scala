@@ -19,7 +19,12 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed ::= name
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries are independent: drop caches created inside the closure
+      // (mention lineage, DenseIds intermediates) so later timings measure
+      // their own work, not earlier queries' storage pressure
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

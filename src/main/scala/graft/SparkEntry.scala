@@ -332,12 +332,14 @@ object SparkEntry {
       // row order, and float32 bit-exactness are all under the gate
       val npyPath = s"/tmp/graft_npy_" +
         dir.replaceAll("[^a-zA-Z0-9.]", "_") + ".npy"
-      if (!new java.io.File(npyPath).exists()) {
-        val rows = s.read.parquet(s"$dir/embeddings.parquet")
-          .orderBy(col("vec_id")).select(col("embedding"))
-          .collect().map(_.getSeq[Float](0).toArray)
-        sources.Npy.writeFloatMatrix(npyPath, rows.toSeq)
-      }
+      // always regenerate: the write is deterministic and cheap, and an
+      // existence-gated cache would silently serve stale bytes after a
+      // testdata or codec change (the stale-cache class Scaling's layoutV
+      // token exists to prevent)
+      val rows = s.read.parquet(s"$dir/embeddings.parquet")
+        .orderBy(col("vec_id")).select(col("embedding"))
+        .collect().map(_.getSeq[Float](0).toArray)
+      sources.Npy.writeFloatMatrix(npyPath, rows.toSeq)
       // exploded to scalars: the driver's hash compare needs flat columns,
       // and per-element equality is the stronger bit-exactness claim anyway
       sources.Npy.scan(s, npyPath)
@@ -548,7 +550,7 @@ object SparkEntry {
     "q_kg_onehop" -> s"""
       WITH $kbCtes,
       kg(h, r, t) AS (SELECT * FROM (VALUES ${Gazetteer.kgTripleValues}) v(h, r, t)),
-      docents AS (SELECT DISTINCT doc_id, qid FROM linked)
+      docents AS (SELECT DISTINCT doc_id, qid FROM linked WHERE ner_type <> 'TIME')
       SELECT DISTINCT d.doc_id, k.h, k.r, k.t
       FROM docents d JOIN kg k ON k.h = d.qid OR k.t = d.qid
       ORDER BY 1, 2, 3, 4""",
@@ -627,13 +629,17 @@ object SparkEntry {
                MIN(ABS(h.sent_id - t.sent_id)) AS msd,
                SUM(CASE WHEN h.sent_id = t.sent_id THEN 1 ELSE 0 END) AS n_cooc
         FROM linked h JOIN linked t ON h.doc_id = t.doc_id AND h.qid <> t.qid
-        GROUP BY 1, 2, 3, 4, 5
-        HAVING SUM(CASE WHEN h.sent_id = t.sent_id THEN 1 ELSE 0 END) >= 1),
-      docents AS (SELECT DISTINCT doc_id, qid FROM linked),
+        GROUP BY 1, 2, 3, 4, 5),
+      docents AS (SELECT DISTINCT doc_id, qid FROM linked WHERE ner_type <> 'TIME'),
       hop AS (SELECT DISTINCT d.doc_id, k.h, k.r, k.t
               FROM docents d JOIN kg k ON k.h = d.qid OR k.t = d.qid),
       direct AS (SELECT DISTINCT hop.doc_id, hop.h AS h_qid, hop.t AS t_qid, r2r.rel
                  FROM hop JOIN r2r ON hop.r = r2r.kbp),
+      dpair AS (SELECT DISTINCT doc_id, h_qid, t_qid FROM direct),
+      pfa AS (
+        SELECT pf.* FROM pf LEFT JOIN dpair
+          ON dpair.doc_id = pf.doc_id AND dpair.h_qid = pf.h_qid AND dpair.t_qid = pf.t_qid
+        WHERE pf.n_cooc >= 1 OR dpair.h_qid IS NOT NULL),
       und AS (SELECT DISTINCT doc_id, h AS a, t AS b FROM hop
               UNION SELECT DISTINCT doc_id, t AS a, h AS b FROM hop),
       nbr AS (SELECT e1.doc_id, e1.a AS h_qid, e2.a AS t_qid,
@@ -654,7 +660,7 @@ object SparkEntry {
         GROUP BY 1, 2),
       iscored AS (
         SELECT pf.doc_id, pf.h_qid, pf.t_qid, r.pred,
-          (CASE WHEN ru.pred IS NOT NULL THEN ${KI.WBase} ELSE -${KI.WBase} END
+          (CASE WHEN ru.pred IS NOT NULL AND pf.n_cooc >= 1 THEN ${KI.WBase} ELSE -${KI.WBase} END
            + (${KI.WDist}) * (CASE WHEN pf.msd <= 0 THEN 0 WHEN pf.msd < 2 THEN 1
                 WHEN pf.msd < 4 THEN 2 WHEN pf.msd < 8 THEN 3 WHEN pf.msd < 16 THEN 4
                 WHEN pf.msd < 32 THEN 5 WHEN pf.msd < 64 THEN 6 WHEN pf.msd < 128 THEN 7
@@ -666,7 +672,7 @@ object SparkEntry {
                                  + LEAST(COALESCE(ct.coref, 0), ${KI.CorefCap}))
            + ${KI.WAttr} * (CASE WHEN ih.instance_of = it.instance_of THEN 1 ELSE 0 END)
           ) AS score_milli
-        FROM pf
+        FROM pfa pf
         CROSS JOIN rels96 r
         LEFT JOIN rules ru ON ru.h_type = pf.h_type AND ru.t_type = pf.t_type AND ru.pred = r.pred
         LEFT JOIN direct d ON d.doc_id = pf.doc_id AND d.h_qid = pf.h_qid

@@ -144,13 +144,22 @@ object DocRED {
     * (the reference runs DWIE through the same four models it runs DocRED,
     * switching only the vocabulary, `ATLOP+KIRE/prepro.py:15-27`). Text is
     * the token stream re-joined on single spaces; url is a stable synthetic
-    * key so bucketing and resume behave exactly as in production. */
+    * key so bucketing and resume behave exactly as in production.
+    *
+    * doc_id = xxhash64(title): DISTINCT titles are this adapter's
+    * precondition (title is the document key in DocRED/DWIE — same-title
+    * rows with different content are corpus corruption upstream of us).
+    * The distinct() absorbs exact re-ingestions of a document, which would
+    * otherwise violate `extractTriplesKernel`'s unique-doc_id precondition;
+    * a 64-bit hash collision between distinct titles remains a ~2⁻⁶⁴
+    * residual per pair. */
   def asPages(docs: DataFrame): DataFrame =
     docs.select(
       concat(lit("dwie://"), col("title")).as("url"),
       concat_ws(" ", flatten(col("sents"))).as("text"),
       lit("en").as("lang"),
       xxhash64(col("title")).as("doc_id"))
+      .distinct()
 
   /** Pair features for the scoring kernel from DocRED vertexSet geometry:
     * minimum sentence distance over the mention cross-product (A7) and

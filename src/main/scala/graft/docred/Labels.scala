@@ -41,6 +41,16 @@ object Labels {
     val vocabArr = array(vocab.map(lit): _*)
     pairs.join(labels, Seq("title", "h", "t"), "left")
       .withColumn("rels", coalesce(col("rels"), array()))
+      // loud failure on vocabulary skew: a gold relation absent from the
+      // vocabulary would otherwise fold to an all-false label vector
+      // (is_na=false, no class bit) — a contradictory training row nothing
+      // downstream rejects
+      .withColumn("rels",
+        when(size(array_except(col("rels"), vocabArr)) === 0, col("rels"))
+          .otherwise(raise_error(concat(
+            lit("labeledPairs: gold relation(s) absent from vocabulary: "),
+            array_join(array_except(col("rels"), vocabArr), ",")))
+            .cast("array<string>")))
       .withColumn("is_na", size(col("rels")) === 0)
       // one-hot fold over the full vocabulary (index 0 = NA)
       .withColumn("label_vec",

@@ -32,8 +32,12 @@ object DenseIds {
     * pass 2 re-executed the exchange it could see different boundaries than
     * the ones pass 1's offsets were computed from, silently corrupting ids.
     * Persisting pins one physical partitioning for both passes. The cache
-    * entry is dictionary-scale (the inputs here are vocabularies); callers
-    * may `.unpersist()` the RETURNED frame's parent after consuming.
+    * entry is dictionary-scale (the inputs here are vocabularies), but it
+    * lives until released: after FULLY consuming the returned frame (write/
+    * collect), call `DenseIds.releasePersisted()` (or
+    * `spark.catalog.clearCache()`) — the Verify/Bench mains do this between
+    * queries. Unpersisting earlier would let pass 2 re-execute the exchange
+    * and re-open the boundary hazard this persist exists to close.
     *
     * An unseen partition id in pass 2 is a hard error (raise_error), never a
     * silent offset-0 fallback. */
@@ -43,6 +47,7 @@ object DenseIds {
       .repartitionByRange(order: _*)
       .withColumn(pid, spark_partition_id())
       .persist()
+    persisted.add(ranged)
     val counts = ranged.groupBy(col(pid)).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
@@ -55,5 +60,19 @@ object DenseIds {
     ranged
       .withColumn(idName, (row_number().over(w) - 1 + off).cast("long"))
       .drop(pid)
+  }
+
+  // internal intermediates pinned by globalDenseId, releasable by callers —
+  // without this, every id assignment leaks one cached dataset for the
+  // session lifetime
+  private val persisted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+
+  /** Unpersist every intermediate pinned by prior `globalDenseId` calls.
+    * Safe once their outputs are fully materialized (written/collected);
+    * id frames consumed AFTER release recompute and may renumber. */
+  def releasePersisted(): Unit = {
+    persisted.forEach(df => { df.unpersist(); () })
+    persisted.clear()
   }
 }

@@ -24,8 +24,12 @@ object Skew {
       .filter(col("freq") >= threshold)
       .select(col(key))
 
-  /** Inner equi-join of big ⋈ small on `key`, salted on the hot keys.
-    * Row-for-row equivalent to `big.join(small, key)`.
+  /** Equi-join of big ⋈ small on `key`, salted on the hot keys.
+    * Row-for-row equivalent to `big.join(small, Seq(key), joinType)` for
+    * joinType "inner" (default) and "left": the small side replicates its
+    * hot rows to EVERY salt, so each (key, salt) bucket sees the complete
+    * small row set for that key — an unmatched big row nulls out exactly as
+    * in the unsalted left join.
     *
     * The (key, salt) join is pinned to a SHUFFLE (sort-merge) join: salting
     * only changes anything for shuffle joins — if either side were small
@@ -34,7 +38,10 @@ object Skew {
     * input (hint resolution does not look through the internal hot-set
     * join). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 hot: DataFrame, factor: Int): DataFrame = {
+                 hot: DataFrame, factor: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin preserves semantics only for inner/left, got $joinType")
     val hotSet = broadcast(hot.select(col(key)).distinct()
       .withColumn("__is_hot", lit(true)))
     val bigSalted = big.join(hotSet, Seq(key), "left")
@@ -48,6 +55,7 @@ object Skew {
           .otherwise(array(lit(0))))
       .withColumn("__salt", explode(col("__salts")))
       .drop("__salts", "__is_hot")
-    bigSalted.join(smallSalted.hint("merge"), Seq(key, "__salt")).drop("__salt")
+    bigSalted.join(smallSalted.hint("merge"), Seq(key, "__salt"), joinType)
+      .drop("__salt")
   }
 }

@@ -87,12 +87,21 @@ object Enrich {
     * The merge hint pins a sort-merge join — never a broadcast of the attr
     * side — and `Skew.saltedJoin` spreads the hot qids across `saltFactor`
     * shuffle partitions (the attr side replicates only its hot rows).
-    * Row-for-row equal to `mentions ⋈ resolvedAttrs(attrs)` (ScaleJoinSpec). */
+    *
+    * LEFT join + default fill, matching `attributes`' contract exactly: a
+    * KB miss (a linked qid with no attr rows — common against any real KB)
+    * must arrive with label=qid / instance_of='entity', never vanish from
+    * the mention table. Row-for-row equal to the broadcast path
+    * (ScaleJoinSpec, including missing-qid rows). */
   def attachAttributesLarge(mentions: DataFrame, attrs: DataFrame,
                             hotQids: DataFrame, saltFactor: Int = 8): DataFrame =
     graft.ops.Skew.saltedJoin(
       mentions,
       // attr_alias: mention tables carry their own `alias` (surface form)
       resolvedAttrs(attrs).withColumnRenamed("alias", "attr_alias"),
-      "qid", hotQids, saltFactor)
+      "qid", hotQids, saltFactor, joinType = "left")
+      .withColumn("label", coalesce(col("label"), col("qid")))
+      .withColumn("description", coalesce(col("description"), col("qid")))
+      .withColumn("instance_of", coalesce(col("instance_of"), lit("entity")))
+      .withColumn("attr_alias", coalesce(col("attr_alias"), col("qid")))
 }

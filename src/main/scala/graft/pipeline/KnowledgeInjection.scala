@@ -18,13 +18,23 @@ import graft.kb.Gazetteer
   * reproducible by integer SQL — the DuckDB oracle replays the full
   * 96-relation logit computation, not a shortcut.
   *
-  * Weight design (fixture): a rule-sanctioned (hType, tType, rel) scores
-  * +2000, others −2000. The soft features (distance ≤ 450, co-occurrence
-  * ≤ 1000, neighbors ≤ 600, coref ≤ 160, attrs ≤ 100) can never flip a base
-  * sign on their own (max soft sum 1860 < 2000), while a DIRECT KB edge
-  * contributes +4500 to its suggested relation — KG evidence, and only KG
-  * evidence, flips decodes. Injected output = rule-path triples ∪
-  * KB-evidenced triples, by construction and by InjectionSpec.
+  * PAIR ADMISSION (the reach model): a pair enters scoring if it co-occurs
+  * in a sentence (n_cooc ≥ 1 — the rule path's textual reach) OR has a
+  * direct KB edge (any distance — KIRE's long-range case: knowledge, and
+  * only knowledge, extends reach beyond the sentence). The type-rule base
+  * fires only on co-occurrence (the type pattern is textual evidence);
+  * cross-sentence pairs can clear the threshold solely through the KB-edge
+  * weight, with the distance buckets penalizing far pairs.
+  *
+  * Weight design (fixture): a rule-sanctioned (hType, tType, rel) with
+  * co-occurrence scores +2000, everything else −2000. The soft features
+  * (distance ≥ −450, co-occurrence ≤ 1000, neighbors ≤ 600, coref ≤ 160,
+  * attrs ≤ 100) can never flip a base sign on their own (max soft sum
+  * 1860 < 2000; the distance term only penalizes), while a DIRECT KB edge
+  * contributes +4500 to its suggested relation (−2000 − 450 + 4500 > 0 at
+  * any distance) — KG evidence, and only KG evidence, flips decodes.
+  * Injected output = rule-path triples ∪ KB-evidenced triples, by
+  * construction and by InjectionSpec.
   */
 object KnowledgeInjection {
 
@@ -105,7 +115,6 @@ object KnowledgeInjection {
         "aggregate(h_sents, 0L, (acc, a) -> acc + size(filter(t_sents, b -> b = a)))").cast("long"))
       .withColumn("evidence",
         array_sort(array_distinct(array_intersect(col("h_sents"), col("t_sents")))))
-      .filter(col("n_cooc") >= 1)
 
     // (a) pair-level KG structure from the one-hop subgraph, pre-merged
     val hop = Enrich.oneHop(linked, spark)
@@ -135,6 +144,9 @@ object KnowledgeInjection {
         coalesce(col("shared_nbrs"), lit(0)).as("shared_nbrs"),
         col("h_coref"), col("t_coref"),
         (col("h_inst") === col("t_inst")).cast("int").as("same_inst"))
+      // admission: textual co-occurrence OR a direct KB edge (the long-range
+      // case) — see the reach model in the scaladoc
+      .filter(col("n_cooc") >= 1 || size(col("sugg_rels")) > 0)
   }
 
   /** The mapPartitions inference kernel over injected features: 96 integer
@@ -162,7 +174,10 @@ object KnowledgeInjection {
           WNbrUnit * math.min(p.shared_nbrs, NbrCap) +
           WCorefUnit * (math.min(p.h_coref, CorefCap) + math.min(p.t_coref, CorefCap)) +
           WAttr * p.same_inst).toLong
-        val b = base.getOrElse((p.h_type, p.t_type), default)
+        // the type-rule base is textual evidence — it fires only when the
+        // pair actually co-occurs in a sentence
+        val b = if (p.n_cooc >= 1) base.getOrElse((p.h_type, p.t_type), default)
+                else default
         val suggIdx = p.sugg_rels.iterator.flatMap(relIdx.get).toSet
         val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
         var i = 0
@@ -190,7 +205,7 @@ object KnowledgeInjection {
     features
       .withColumn("pred", explode(relsArr))
       .withColumn("score_milli",
-        (when(element_at(ruleMap,
+        (when(col("n_cooc") >= 1 && element_at(ruleMap,
             concat_ws("|", col("h_type"), col("t_type"), col("pred"))).isNotNull,
             WBase).otherwise(-WBase)
           + lit(WDist) * RelationScorer.disBucketCol(col("min_sent_dist"))

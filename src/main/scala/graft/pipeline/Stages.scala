@@ -274,7 +274,11 @@ object Stages {
     while (i < toks.length) {
       val t = toks(i)
       if (t.nonEmpty && isBoundary(t.charAt(t.length - 1))
-          && !(t.length <= maxAbbrevLen && abbrevSet.contains(t.toLowerCase))) {
+          && !(t.length <= maxAbbrevLen &&
+               // Locale.ROOT: Spark's lower() and DuckDB's lower() are
+               // locale-independent; default-locale toLowerCase would break
+               // kernel==HOF==oracle parity on e.g. tr_TR JVMs ("I"→"ı")
+               abbrevSet.contains(t.toLowerCase(java.util.Locale.ROOT)))) {
         var s = segStart
         while (s <= i) { spans += ((s, math.min(s + chunk - 1, i))); s += chunk }
         segStart = i + 1

@@ -68,8 +68,15 @@ object Npy {
       "fortran-order tensors unsupported (C-order only)")
     val shape = field("shape").dropWhile(_ == '(').takeWhile(_ != ')')
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
-    require(shape.nonEmpty && shape.size <= 2, s"unsupported shape $shape")
-    val count = shape.product
+    require(shape.nonEmpty && shape.size <= 2 && shape.forall(_ >= 0),
+      s"unsupported shape $shape")
+    // Long product: an Int overflow on a hostile/corrupt shape would wrap
+    // (e.g. 65536×65536 → 0), pass the truncation check, and hand the
+    // caller a plausible all-zeros matrix instead of failing loudly
+    val countL = shape.foldLeft(1L)(_ * _)
+    require(countL >= 0 && countL <= Int.MaxValue.toLong,
+      s".npy shape too large or invalid: $shape")
+    val count = countL.toInt
     val width = if (descr == "<f4") 4 else 8
     val dataOff = headerOff + headerLen
     require(bytes.length - dataOff >= count.toLong * width,

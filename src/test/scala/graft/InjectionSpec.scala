@@ -85,6 +85,23 @@ class InjectionSpec extends AnyFunSuite {
     assert(got == Set(("Q4", "P463", "Q8", 2600L), ("Q8", "P488", "Q4", 2100L)))
   }
 
+  test("long-range: a KB edge reaches across sentences; only KB can") {
+    // Q4 in sentence 0, Q8 in sentence 2 — no co-occurrence, so the rule
+    // base never fires in either direction; the (Q4, Q8) direction is
+    // admitted by the KB edge Q4→P463→Q8 and decodes through it alone,
+    // paying the live distance penalty (msd 2 → bucket 2 → −100)
+    val one = Seq(
+      (1L, 0, 0, 0, "customer", "Q4", "PER"),
+      (1L, 2, 2, 2, "table", "Q8", "ORG"))
+      .toDF("doc_id", "sent_id", "pos_start", "pos_end", "alias", "qid", "ner_type")
+    val got = KI.extractInjected(one, spark)
+      .select("subj", "pred", "obj", "score_milli").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    // (Q4,P463,Q8): −2000 (no co-occurrence → no rule base) − 100 dist + 4500 = 2400;
+    // (Q8,*,Q4): no KB edge in that direction, not admitted — nothing decodes
+    assert(got == Set(("Q4", "P463", "Q8", 2400L)))
+  }
+
   test("coref + neighborhood features are live dataflow (nonzero on fixture)") {
     assert(feats.filter(col("h_coref") > 0).count() > 0, "coref feature dead")
     assert(feats.filter(col("shared_nbrs") > 0).count() > 0, "neighbor feature dead")
