@@ -232,6 +232,12 @@ object SparkEntry {
       ops.TextAnalysis.quality(ops.Corpora.normDocs(s, dir)).orderBy(col("doc_id"))),
     "q_fingerprint" -> ((s, dir) =>
       ops.TextAnalysis.fingerprint(ops.Corpora.normDocs(s, dir)).orderBy(col("doc_id"))),
+    "q_winnow" -> ((s, dir) =>
+      // winnowing fingerprints as a distinct (doc_id, fingerprint) set; the
+      // oracle replays the k-gram polynomial mod-M hash and the w-window
+      // min sweep in SQL from the same constants
+      ops.TextAnalysis.winnowFingerprints(ops.Corpora.normDocs(s, dir), s)
+        .distinct().orderBy(col("doc_id"), col("fingerprint"))),
 
     // B4 char2id dictionary (char frequencies + dense ids, 0=BLANK 1=UNK)
     "q_char_vocab" -> ((s, dir) =>
@@ -750,6 +756,41 @@ object SparkEntry {
       WITH $normDocsCte
       SELECT doc_id, md5(text) AS md5, substring(md5(text), 1, 16) AS fp64
       FROM norm_docs ORDER BY doc_id""",
+
+    "q_winnow" -> {
+      import graft.ops.{TextAnalysis => TA}
+      val k = TA.WinnowK; val w = TA.WinnowW; val m = TA.WinnowM
+      val pows = TA.winnowPowMods.map(_.toString).mkString("[", ", ", "]")
+      s"""
+      WITH $normDocsCte,
+      longdocs AS (SELECT doc_id, text FROM norm_docs WHERE strlen(text) >= $k),
+      grams AS (
+        SELECT doc_id,
+               CAST(unnest(range(strlen(text) - ${k - 1})) AS BIGINT) AS g,
+               text
+        FROM longdocs),
+      hashes AS (
+        SELECT doc_id, g,
+               CAST(list_sum(list_transform(range($k), j ->
+                 CAST(unicode(substring(text, CAST(g + j + 1 AS INT), 1)) AS BIGINT)
+                   * ($pows)[CAST(j + 1 AS INT)])) % $m AS BIGINT) AS h
+        FROM grams),
+      ng AS (SELECT doc_id, COUNT(*) AS n FROM hashes GROUP BY 1),
+      small AS (
+        SELECT h.doc_id, MIN(h.h) AS fingerprint
+        FROM hashes h JOIN ng ON h.doc_id = ng.doc_id AND ng.n <= $w
+        GROUP BY 1),
+      big AS (
+        SELECT DISTINCT doc_id, fingerprint FROM (
+          SELECT h.doc_id, ng.n, h.g,
+                 MIN(h.h) OVER (PARTITION BY h.doc_id ORDER BY h.g
+                   ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fingerprint
+          FROM hashes h JOIN ng ON h.doc_id = ng.doc_id AND ng.n > $w) x
+        WHERE g <= n - $w)
+      SELECT doc_id, fingerprint FROM small
+      UNION ALL SELECT doc_id, fingerprint FROM big
+      ORDER BY 1, 2"""
+    },
 
     "q_char_vocab" -> s"""
       WITH $normDocsCte,

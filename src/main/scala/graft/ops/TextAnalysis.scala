@@ -73,12 +73,23 @@ object TextAnalysis {
     * substring of length ≥ w + k − 1 yields a shared fingerprint. Pure
     * Scala kernel (the rolling recurrence is inherently sequential per doc,
     * perfectly parallel across docs). */
-  def winnow(text: String, k: Int = 8, w: Int = 6): Seq[Long] = {
+  // winnowing constants, shared with the DuckDB oracle generator (the SQL
+  // replays the polynomial as Σ char·B^(k−1−j) mod M with precomputed
+  // power-mod literals — identical to the incremental recurrence below)
+  val WinnowK = 8
+  val WinnowW = 6
+  val WinnowB = 131L
+  val WinnowM = 1000000007L
+  def winnowPowMods: Seq[Long] =
+    (0 until WinnowK).map(j =>
+      BigInt(WinnowB).modPow(BigInt(WinnowK - 1 - j), BigInt(WinnowM)).toLong)
+
+  def winnow(text: String, k: Int = WinnowK, w: Int = WinnowW): Seq[Long] = {
     val s = text
     if (s.length < k) return Seq.empty
     // modulus sized so h*B and char*pow never overflow a Long
-    val B = 131L
-    val M = 1000000007L
+    val B = WinnowB
+    val M = WinnowM
     var pow = 1L
     for (_ <- 1 until k) pow = pow * B % M
     val hashes = new Array[Long](s.length - k + 1)

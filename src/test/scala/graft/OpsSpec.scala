@@ -137,6 +137,14 @@ class OpsSpec extends AnyFunSuite {
     assert(hit >= 0.4, s"absolute recall too low: $hit")
     // every query returns exactly k ranked rows (cells are never empty here)
     assert(ivf.count() == 60)
+    // plan pin for the in-row assignment claim: the ONLY Window is the final
+    // top-k re-rank — a windowed argmax over an N×nlist blowup would show a
+    // second one
+    val plan = Similarity.ivfTopK(emb, 3, 20,
+      SparkEntry.IvfNlist, SparkEntry.IvfNprobe, spark)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("\\bWindow\\b").length - 1 == 1,
+      s"expected exactly one Window (re-rank) in the IVF plan:\n$plan")
   }
 
   test("NA down-sampling: deterministic, positives kept, per-doc rescue") {

@@ -79,4 +79,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0)
     assert(want.exceptAll(got).count() == 0)
   }
+
+  test("KB upsert state survives a restart: exactly-once across stop/start") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_stream_resume")
+    val in = Files.createDirectories(work.resolve("in"))
+    val out = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    val staged = new java.io.File(StreamingExtraction.stageDocsDir(spark, sfDir, 4))
+    val files = staged.listFiles.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def runOnce(): Long = {
+      val q = StreamingExtraction.netNewTriples(
+          StreamingExtraction.triples(
+            StreamingExtraction.pagesStream(spark, in.toString, maxFilesPerTrigger = 1),
+            spark), spark)
+        .toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      val inputRows = q.recentProgress.map(_.numInputRows).sum
+      q.stop()
+      inputRows
+    }
+    // first life: half the corpus; second life (fresh query object, SAME
+    // checkpoint): the rest. The rest's docs re-extract triples already
+    // emitted in life 1, so if the dedup state were rebuilt instead of
+    // restored from the checkpoint, life 2 would re-emit them as duplicates.
+    files.take(2).foreach(f => Files.copy(f.toPath, in.resolve(f.getName)))
+    runOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    files.drop(2).foreach(f => Files.copy(f.toPath, in.resolve(f.getName)))
+    val secondLifeInput = runOnce()
+    val got = spark.read.parquet(out)
+    val want = Stages.extractTriplesKernel(Pages.fromDocuments(spark, sfDir), spark)
+      .select("subj", "pred", "obj").distinct()
+    assert(afterFirst > 0, "life 1 must emit")
+    assert(secondLifeInput > 0,
+      "life 2 must actually process the new files, not no-op")
+    assert(got.count() == want.count(), "duplicate or lost emissions across restart")
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
 }
