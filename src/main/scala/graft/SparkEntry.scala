@@ -198,10 +198,12 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("qid"))
     }),
     "q_scored_triples" -> ((s, dir) => {
-      // the mapPartitions scoring kernel; with fixture weights its decode is
-      // provably identical to the rule path, so it shares q_triples' oracle
-      val linked = Stages.linkedFast(Stages.mentionsKernel(Pages.fromDocuments(s, dir), s), s)
-      pipeline.RelationScorer.extract(linked, s)
+      // the ZERO-SHUFFLE fused scoring kernel (pages → mentions → link →
+      // pair features → 96-class decode in one mapPartitions pass); with
+      // fixture weights its decode is provably identical to the rule path,
+      // so it shares q_triples' oracle. The staged twin
+      // (pairFeatures + score) is pinned row-identical in FusedSpec.
+      pipeline.RelationScorer.extractKernelFused(Pages.fromDocuments(s, dir), s)
         .select("doc_id", "subj", "pred", "obj").distinct()
         .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
     }),

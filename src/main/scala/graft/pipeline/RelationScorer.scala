@@ -174,6 +174,73 @@ object RelationScorer {
     score(ordered, spark)
   }
 
+  /** ZERO-SHUFFLE scored extraction: pages → mentions → link → pair
+    * features → 96-class decode, all inside one mapPartitions pass per
+    * document (the scored twin of `Stages.extractTriplesKernel`). The
+    * staged path (`extract` over `pairFeatures`) pays two entity-level
+    * shuffles (groupBy doc×qid, groupBy doc) plus the in-row pair explode;
+    * here every step is per-doc driver-free Scala over the same broadcast
+    * dictionary and compiled weights, so the job's only exchange is
+    * whatever the SINK needs. Row-identical to the staged path
+    * (ScorerFusedSpec) and shares q_scored_triples' oracle. */
+  def extractKernelFused(pages: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val byFirstB = spark.sparkContext.broadcast(Stages.kernelDict)
+    val bw = spark.sparkContext.broadcast(compile(fixtureWeights))
+    pages.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val byFirst = byFirstB.value
+        val w = bw.value
+        it.flatMap { case (docId, text) =>
+          val ments = Stages.docMentions(text.split(" ", -1), byFirst)
+          // entity → (type, sent-id multiset); qid→type is functional
+          val ents = scala.collection.mutable.LinkedHashMap
+            .empty[String, (String, scala.collection.mutable.ArrayBuffer[Int])]
+          ments.foreach { m =>
+            ents.getOrElseUpdate(m._4._3,
+              (m._4._4, scala.collection.mutable.ArrayBuffer.empty[Int]))._2 += m._1
+          }
+          val arr = ents.toArray
+          val out = scala.collection.mutable.ArrayBuffer.empty[ScoredTriple]
+          var i = 0
+          while (i < arr.length) {
+            val (hQid, (hType, hS)) = arr(i)
+            var j = 0
+            while (j < arr.length) {
+              if (i != j) {
+                val (tQid, (tType, tS)) = arr(j)
+                // multiset co-occurrence + min distance + sorted evidence —
+                // exactly pairFeatures' HOF semantics
+                var cooc = 0L; var msd = Int.MaxValue
+                var a = 0
+                while (a < hS.length) {
+                  var b = 0
+                  while (b < tS.length) {
+                    val d = math.abs(hS(a) - tS(b))
+                    if (d < msd) msd = d
+                    if (d == 0) cooc += 1
+                    b += 1
+                  }
+                  a += 1
+                }
+                if (cooc >= 1) {
+                  val ev = hS.toSet.intersect(tS.toSet).toSeq.sorted
+                  val base = w.base.getOrElse((hType, tType), w.default)
+                  val soft = w.wDist * disBucket(msd) + w.wCooc * math.log1p(cooc.toDouble)
+                  decode(w, base, soft).foreach { case (r, s) =>
+                    out += ScoredTriple(docId, hQid, r, tQid, s, ev)
+                  }
+                }
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }.toDF()
+  }
+
   // ------------------------------------------------- A9 vector pooling path
 
   case class PooledPairFeature(doc_id: Long, h_qid: String, h_type: String,

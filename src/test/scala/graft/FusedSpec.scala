@@ -81,6 +81,27 @@ class FusedSpec extends AnyFunSuite {
     assert(k2.exceptAll(d2).count() == 0 && d2.exceptAll(k2).count() == 0)
   }
 
+  test("fused scored kernel == staged pairFeatures+score path, row for row") {
+    val pages = Pages.fromDocuments(spark, sfDir).cache()
+    val staged = graft.pipeline.RelationScorer.extract(
+      Stages.linkedFast(Stages.mentionsKernel(pages, spark), spark), spark)
+      .select(col("doc_id"), col("subj"), col("pred"), col("obj"),
+        col("score"), col("evidence").cast("string"))
+    val fused = graft.pipeline.RelationScorer.extractKernelFused(pages, spark)
+      .select(col("doc_id"), col("subj"), col("pred"), col("obj"),
+        col("score"), col("evidence").cast("string"))
+    assert(fused.exceptAll(staged).count() == 0)
+    assert(staged.exceptAll(fused).count() == 0)
+    // and the fused plan has no Exchange at all (scored triples stream
+    // straight from the page scan to the sink) — raw in-memory pages so the
+    // assert sees pipeline topology, not the cached ingest lineage
+    import spark.implicits._
+    val raw = Seq((1L, "spark joins customer table")).toDF("doc_id", "text")
+    val plan = graft.pipeline.RelationScorer.extractKernelFused(raw, spark)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fused scorer must not shuffle:\n$plan")
+  }
+
   test("resolved dictionary matches the relational vote winners") {
     val pages = Pages.fromDocuments(spark, sfDir)
     val relational = Stages.linked(Stages.mentions(pages, spark), spark)
