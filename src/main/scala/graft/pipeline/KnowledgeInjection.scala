@@ -54,6 +54,17 @@ object KnowledgeInjection {
                              shared_nbrs: Int, h_coref: Int, t_coref: Int,
                              same_inst: Int)
 
+  // public: Spark's generated (de)serializer code lives outside this
+  // package and cannot touch private members
+  case class EntKnow(doc_id: Long, qid: String, ner_type: String,
+                     sents: Seq[Int], coref: Int, instance_of: String)
+
+  case class PairKnow(doc_id: Long, h_qid: String, h_type: String,
+                      t_qid: String, t_type: String,
+                      min_sent_dist: Int, n_cooc: Long,
+                      evidence: Seq[Int], h_coref: Int, t_coref: Int,
+                      h_inst: String, t_inst: String)
+
   case class InjScoredTriple(doc_id: Long, subj: String, pred: String,
                              obj: String, score_milli: Long, evidence: Seq[Int])
 
@@ -79,42 +90,54 @@ object KnowledgeInjection {
     *
     * Join shape (the 100× consideration): ENTITY-level knowledge (coref
     * partner counts, instance-of) attaches before pair formation — k rows
-    * per doc, not the k² pair blowup — and rides through the in-row pair
-    * explode inside the entity structs. The two PAIR-level KG features
-    * (direct edges, shared neighbors) share a key and are pre-merged, so
-    * the big pair table is shuffled for exactly ONE feature join. */
+    * per doc, not the k² pair blowup — and rides into the per-doc
+    * flatMapGroups pair kernel. The two PAIR-level KG features (direct
+    * edges, shared neighbors) share a key and are pre-merged, so the big
+    * pair table is shuffled for exactly ONE feature join. */
   def injectedFeatures(linked: DataFrame, spark: SparkSession): DataFrame = {
     // (b) + (c): entity-level features
     val inst = Enrich.attributes(linked, spark).select(col("qid"), col("instance_of"))
     val coref = corefCounts(linked)
 
     // entity aggregation (the pairFeatures shape) with knowledge columns
-    // carried in the per-entity struct through the in-row pair explode
-    val docEnts = linked.groupBy(col("doc_id"), col("qid"), col("ner_type"))
+    // attached at ENTITY level — k rows per doc, not the k² pair blowup —
+    // then per-doc pair formation + feature arithmetic in a flatMapGroups
+    // kernel (plain Scala; the interpreted-HOF explode this replaces was
+    // the dominant cost of the feature derivation)
+    import spark.implicits._
+    val entKnow = linked.groupBy(col("doc_id"), col("qid"), col("ner_type"))
       .agg(collect_list(col("sent_id")).as("sents"))
       .join(coref, Seq("doc_id", "qid"), "left")
       .join(broadcast(inst), Seq("qid"))
-      .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("qid"), col("ner_type"), col("sents"),
-        coalesce(col("coref"), lit(0)).as("coref"), col("instance_of"))).as("ents"))
-    val pairs = docEnts
-      .select(col("doc_id"), explode(col("ents")).as("h"), col("ents"))
-      .select(col("doc_id"), col("h"), explode(col("ents")).as("t"))
-      .filter(col("h.qid") =!= col("t.qid"))
-      .select(col("doc_id"),
-        col("h.qid").as("h_qid"), col("h.ner_type").as("h_type"),
-        col("h.sents").as("h_sents"), col("h.coref").as("h_coref"),
-        col("h.instance_of").as("h_inst"),
-        col("t.qid").as("t_qid"), col("t.ner_type").as("t_type"),
-        col("t.sents").as("t_sents"), col("t.coref").as("t_coref"),
-        col("t.instance_of").as("t_inst"))
-      .withColumn("min_sent_dist", expr(
-        "aggregate(h_sents, 2147483647, (acc, a) -> least(acc, " +
-          "aggregate(t_sents, 2147483647, (acc2, b) -> least(acc2, abs(a - b)))))").cast("int"))
-      .withColumn("n_cooc", expr(
-        "aggregate(h_sents, 0L, (acc, a) -> acc + size(filter(t_sents, b -> b = a)))").cast("long"))
-      .withColumn("evidence",
-        array_sort(array_distinct(array_intersect(col("h_sents"), col("t_sents")))))
+      .select(col("doc_id"), col("qid"), col("ner_type"), col("sents"),
+        coalesce(col("coref"), lit(0)).as("coref"), col("instance_of"))
+      .as[EntKnow]
+    val pairs = entKnow.groupByKey(_.doc_id).flatMapGroups { (docId, it) =>
+      val arr = it.toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[PairKnow]
+      var i = 0
+      while (i < arr.length) {
+        val h = arr(i)
+        var j = 0
+        while (j < arr.length) {
+          if (i != j && arr(j).qid != h.qid) {
+            val t = arr(j)
+            var cooc = 0L; var msd = Int.MaxValue
+            for (a <- h.sents; b <- t.sents) {
+              val d = math.abs(a - b)
+              if (d < msd) msd = d
+              if (d == 0) cooc += 1
+            }
+            val ev = h.sents.toSet.intersect(t.sents.toSet).toSeq.sorted
+            out += PairKnow(docId, h.qid, h.ner_type, t.qid, t.ner_type,
+              msd, cooc, ev, h.coref, t.coref, h.instance_of, t.instance_of)
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.iterator
+    }.toDF()
 
     // (a) pair-level KG structure from the one-hop subgraph, pre-merged
     val hop = Enrich.oneHop(linked, spark)
