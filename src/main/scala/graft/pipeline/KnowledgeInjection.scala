@@ -57,13 +57,14 @@ object KnowledgeInjection {
   // public: Spark's generated (de)serializer code lives outside this
   // package and cannot touch private members
   case class EntKnow(doc_id: Long, qid: String, ner_type: String,
-                     sents: Seq[Int], coref: Int, instance_of: String)
+                     sents: Seq[Int], coref: Int, instance_of: String,
+                     nbrs: Seq[String])
 
   case class PairKnow(doc_id: Long, h_qid: String, h_type: String,
                       t_qid: String, t_type: String,
                       min_sent_dist: Int, n_cooc: Long,
                       evidence: Seq[Int], h_coref: Int, t_coref: Int,
-                      h_inst: String, t_inst: String)
+                      h_inst: String, t_inst: String, shared_nbrs: Int)
 
   case class InjScoredTriple(doc_id: Long, subj: String, pred: String,
                              obj: String, score_milli: Long, evidence: Seq[Int])
@@ -89,15 +90,34 @@ object KnowledgeInjection {
     * `Enrich.attributes`, the coref feature from `Coref.aliasCoref`.
     *
     * Join shape (the 100× consideration): ENTITY-level knowledge (coref
-    * partner counts, instance-of) attaches before pair formation — k rows
-    * per doc, not the k² pair blowup — and rides into the per-doc
-    * flatMapGroups pair kernel. The two PAIR-level KG features (direct
-    * edges, shared neighbors) share a key and are pre-merged, so the big
-    * pair table is shuffled for exactly ONE feature join. */
+    * partner counts, instance-of, one-hop neighbor sets) attaches before
+    * pair formation — k rows per doc, not the k² pair blowup — and rides
+    * into the per-doc flatMapGroups pair kernel, which computes shared
+    * neighbors as a set intersection in-row. The ONLY pair-level join left
+    * is the direct-edge attach, so the big pair table is shuffled for
+    * exactly ONE feature join. */
   def injectedFeatures(linked: DataFrame, spark: SparkSession): DataFrame = {
     // (b) + (c): entity-level features
     val inst = Enrich.attributes(linked, spark).select(col("qid"), col("instance_of"))
     val coref = corefCounts(linked)
+
+    // (a) KG structure from the one-hop subgraph. Direct edges stay a
+    // pair-level join; shared neighbors are computed IN the pair kernel
+    // from per-entity neighbor sets (k entity rows carry their one-hop
+    // neighborhood; |N(h) ∩ N(t) \ {h,t}| per pair) — no und ⋈ und
+    // self-join, no pair-level aggregation for the neighbor feature.
+    val hop = Enrich.oneHop(linked, spark)
+    val rel2rel = typedLit(Gazetteer.kbRel2rel.toMap)
+    val direct = hop.select(col("doc_id"), col("h").as("h_qid"), col("t").as("t_qid"),
+        element_at(rel2rel, col("r")).as("sr"))
+      .filter(col("sr").isNotNull)
+      .groupBy("doc_id", "h_qid", "t_qid")
+      .agg(array_sort(collect_set(col("sr"))).as("sugg_rels"))
+    val und = hop.select(col("doc_id"), col("h").as("a"), col("t").as("b"))
+      .union(hop.select(col("doc_id"), col("t").as("a"), col("h").as("b")))
+      .distinct()
+    val nbrSets = und.groupBy(col("doc_id"), col("a").as("qid"))
+      .agg(collect_set(col("b")).as("nbrs"))
 
     // entity aggregation (the pairFeatures shape) with knowledge columns
     // attached at ENTITY level — k rows per doc, not the k² pair blowup —
@@ -109,8 +129,10 @@ object KnowledgeInjection {
       .agg(collect_list(col("sent_id")).as("sents"))
       .join(coref, Seq("doc_id", "qid"), "left")
       .join(broadcast(inst), Seq("qid"))
+      .join(nbrSets, Seq("doc_id", "qid"), "left")
       .select(col("doc_id"), col("qid"), col("ner_type"), col("sents"),
-        coalesce(col("coref"), lit(0)).as("coref"), col("instance_of"))
+        coalesce(col("coref"), lit(0)).as("coref"), col("instance_of"),
+        coalesce(col("nbrs"), array()).as("nbrs"))
       .as[EntKnow]
     val pairs = entKnow.groupByKey(_.doc_id).flatMapGroups { (docId, it) =>
       val arr = it.toArray
@@ -118,6 +140,7 @@ object KnowledgeInjection {
       var i = 0
       while (i < arr.length) {
         val h = arr(i)
+        val hNbrs = h.nbrs.toSet
         var j = 0
         while (j < arr.length) {
           if (i != j && arr(j).qid != h.qid) {
@@ -129,8 +152,11 @@ object KnowledgeInjection {
               if (d == 0) cooc += 1
             }
             val ev = h.sents.toSet.intersect(t.sents.toSet).toSeq.sorted
+            val shared = hNbrs.intersect(t.nbrs.toSet)
+              .count(z => z != h.qid && z != t.qid)
             out += PairKnow(docId, h.qid, h.ner_type, t.qid, t.ner_type,
-              msd, cooc, ev, h.coref, t.coref, h.instance_of, t.instance_of)
+              msd, cooc, ev, h.coref, t.coref, h.instance_of, t.instance_of,
+              shared)
           }
           j += 1
         }
@@ -139,32 +165,12 @@ object KnowledgeInjection {
       out.iterator
     }.toDF()
 
-    // (a) pair-level KG structure from the one-hop subgraph, pre-merged
-    val hop = Enrich.oneHop(linked, spark)
-    val rel2rel = typedLit(Gazetteer.kbRel2rel.toMap)
-    val direct = hop.select(col("doc_id"), col("h").as("h_qid"), col("t").as("t_qid"),
-        element_at(rel2rel, col("r")).as("sr"))
-      .filter(col("sr").isNotNull)
-      .groupBy("doc_id", "h_qid", "t_qid")
-      .agg(array_sort(collect_set(col("sr"))).as("sugg_rels"))
-    val und = hop.select(col("doc_id"), col("h").as("a"), col("t").as("b"))
-      .union(hop.select(col("doc_id"), col("t").as("a"), col("h").as("b")))
-      .distinct()
-    val nbr = und.select(col("doc_id"), col("a").as("h_qid"), col("b").as("z"))
-      .join(und.select(col("doc_id"), col("a").as("t_qid"), col("b").as("z")),
-        Seq("doc_id", "z"))
-      .filter(col("h_qid") =!= col("t_qid") &&
-        col("z") =!= col("h_qid") && col("z") =!= col("t_qid"))
-      .groupBy("doc_id", "h_qid", "t_qid")
-      .agg(countDistinct(col("z")).cast("int").as("shared_nbrs"))
-    val kgPair = direct.join(nbr, Seq("doc_id", "h_qid", "t_qid"), "full")
-
     pairs
-      .join(kgPair, Seq("doc_id", "h_qid", "t_qid"), "left")
+      .join(direct, Seq("doc_id", "h_qid", "t_qid"), "left")
       .select(col("doc_id"), col("h_qid"), col("h_type"), col("t_qid"), col("t_type"),
         col("min_sent_dist"), col("n_cooc"), col("evidence"),
         coalesce(col("sugg_rels"), array()).as("sugg_rels"),
-        coalesce(col("shared_nbrs"), lit(0)).as("shared_nbrs"),
+        col("shared_nbrs"),
         col("h_coref"), col("t_coref"),
         (col("h_inst") === col("t_inst")).cast("int").as("same_inst"))
       // admission: textual co-occurrence OR a direct KB edge (the long-range
