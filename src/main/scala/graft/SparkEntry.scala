@@ -110,12 +110,11 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("alias"))
     }),
     "q_linked" -> ((s, dir) => {
+      // production (kernel) mention path; the relational-vote showcase
+      // stays spec-pinned row-identical to linkedFast in FusedSpec, and
+      // q_mentions keeps the declarative-HOF path under the oracle
       val pages = Pages.fromDocuments(s, dir)
-      // cache: the relational vote walks the mention lineage twice (candidate
-      // branch + final join) and Catalyst has no plan-level CSE — uncached,
-      // the interpreted-HOF extraction would execute 2-3× per action
-      val ments = Stages.mentions(pages, s).cache()
-      Stages.linked(ments, s)
+      Stages.linkedFast(Stages.mentionsKernel(pages, s), s)
         .groupBy(col("doc_id"), col("alias"), col("qid"), col("ner_type"))
         .agg(count(lit(1)).as("n_mentions"))
         .orderBy(col("doc_id"), col("alias"))
