@@ -145,13 +145,7 @@ object KnowledgeInjection {
         while (j < arr.length) {
           if (i != j && arr(j).qid != h.qid) {
             val t = arr(j)
-            var cooc = 0L; var msd = Int.MaxValue
-            for (a <- h.sents; b <- t.sents) {
-              val d = math.abs(a - b)
-              if (d < msd) msd = d
-              if (d == 0) cooc += 1
-            }
-            val ev = h.sents.toSet.intersect(t.sents.toSet).toSeq.sorted
+            val (msd, cooc, ev) = RelationScorer.pairStats(h.sents, t.sents)
             val shared = hNbrs.intersect(t.nbrs.toSet)
               .count(z => z != h.qid && z != t.qid)
             out += PairKnow(docId, h.qid, h.ner_type, t.qid, t.ner_type,

@@ -100,6 +100,22 @@ object RelationScorer {
     buf.sortBy { case (r, s) => (-s, r) }.take(MaxLabels).toSeq
   }
 
+  /** Shared per-pair sentence statistics — the Scala twin of pairFeatures'
+    * HOF arithmetic, used by both the fused scorer and the injection pair
+    * kernel: (min |a−b|, multiset co-occurrence count, sorted distinct
+    * co-occurring sentence ids). */
+  private[pipeline] def pairStats(hS: collection.Seq[Int],
+                                  tS: collection.Seq[Int]): (Int, Long, Seq[Int]) = {
+    var cooc = 0L
+    var msd = Int.MaxValue
+    for (a <- hS; b <- tS) {
+      val d = math.abs(a - b)
+      if (d < msd) msd = d
+      if (d == 0) cooc += 1
+    }
+    (msd, cooc, hS.toSet.intersect(tS.toSet).toSeq.sorted)
+  }
+
   case class PairFeature(doc_id: Long, h_qid: String, h_type: String,
                          t_qid: String, t_type: String,
                          min_sent_dist: Int, n_cooc: Long,
@@ -209,22 +225,8 @@ object RelationScorer {
             while (j < arr.length) {
               if (i != j) {
                 val (tQid, (tType, tS)) = arr(j)
-                // multiset co-occurrence + min distance + sorted evidence —
-                // exactly pairFeatures' HOF semantics
-                var cooc = 0L; var msd = Int.MaxValue
-                var a = 0
-                while (a < hS.length) {
-                  var b = 0
-                  while (b < tS.length) {
-                    val d = math.abs(hS(a) - tS(b))
-                    if (d < msd) msd = d
-                    if (d == 0) cooc += 1
-                    b += 1
-                  }
-                  a += 1
-                }
+                val (msd, cooc, ev) = pairStats(hS, tS)
                 if (cooc >= 1) {
-                  val ev = hS.toSet.intersect(tS.toSet).toSeq.sorted
                   val base = w.base.getOrElse((hType, tType), w.default)
                   val soft = w.wDist * disBucket(msd) + w.wCooc * math.log1p(cooc.toDouble)
                   decode(w, base, soft).foreach { case (r, s) =>
