@@ -764,10 +764,10 @@ object SparkEntry {
       val pows = TA.winnowPowMods.map(_.toString).mkString("[", ", ", "]")
       s"""
       WITH $normDocsCte,
-      longdocs AS (SELECT doc_id, text FROM norm_docs WHERE strlen(text) >= $k),
+      longdocs AS (SELECT doc_id, text FROM norm_docs WHERE length(text) >= $k),
       grams AS (
         SELECT doc_id,
-               CAST(unnest(range(strlen(text) - ${k - 1})) AS BIGINT) AS g,
+               CAST(unnest(range(length(text) - ${k - 1})) AS BIGINT) AS g,
                text
         FROM longdocs),
       hashes AS (

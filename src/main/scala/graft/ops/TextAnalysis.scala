@@ -110,7 +110,7 @@ object TextAnalysis {
 
   /** Winnowing as a Dataset op: (doc_id, fingerprint) rows. */
   def winnowFingerprints(docs: DataFrame, spark: SparkSession,
-                         k: Int = 8, w: Int = 6): DataFrame = {
+                         k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) => winnow(t, k, w).map(id -> _) }

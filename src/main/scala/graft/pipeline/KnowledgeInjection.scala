@@ -136,17 +136,20 @@ object KnowledgeInjection {
       .as[EntKnow]
     val pairs = entKnow.groupByKey(_.doc_id).flatMapGroups { (docId, it) =>
       val arr = it.toArray
+      // per-entity sets hoisted out of the k² pair loop (k conversions, not k²)
+      val sentSets = arr.map(_.sents.toSet)
+      val nbrSets2 = arr.map(_.nbrs.toSet)
       val out = scala.collection.mutable.ArrayBuffer.empty[PairKnow]
       var i = 0
       while (i < arr.length) {
         val h = arr(i)
-        val hNbrs = h.nbrs.toSet
         var j = 0
         while (j < arr.length) {
           if (i != j && arr(j).qid != h.qid) {
             val t = arr(j)
-            val (msd, cooc, ev) = RelationScorer.pairStats(h.sents, t.sents)
-            val shared = hNbrs.intersect(t.nbrs.toSet)
+            val (msd, cooc) = RelationScorer.pairDistCooc(h.sents, t.sents)
+            val ev = RelationScorer.evidenceOf(sentSets(i), sentSets(j))
+            val shared = nbrSets2(i).intersect(nbrSets2(j))
               .count(z => z != h.qid && z != t.qid)
             out += PairKnow(docId, h.qid, h.ner_type, t.qid, t.ner_type,
               msd, cooc, ev, h.coref, t.coref, h.instance_of, t.instance_of,

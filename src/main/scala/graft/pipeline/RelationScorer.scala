@@ -102,10 +102,13 @@ object RelationScorer {
 
   /** Shared per-pair sentence statistics — the Scala twin of pairFeatures'
     * HOF arithmetic, used by both the fused scorer and the injection pair
-    * kernel: (min |a−b|, multiset co-occurrence count, sorted distinct
-    * co-occurring sentence ids). */
-  private[pipeline] def pairStats(hS: collection.Seq[Int],
-                                  tS: collection.Seq[Int]): (Int, Long, Seq[Int]) = {
+    * kernel: (min |a−b|, multiset co-occurrence count). Evidence (the
+    * sorted distinct co-occurring sentences) is computed separately via
+    * `evidenceOf` over per-entity sets hoisted OUTSIDE the k² pair loop —
+    * building sets per pair would do k× redundant conversions per entity
+    * on the kernels' hot path. */
+  private[pipeline] def pairDistCooc(hS: collection.Seq[Int],
+                                     tS: collection.Seq[Int]): (Int, Long) = {
     var cooc = 0L
     var msd = Int.MaxValue
     for (a <- hS; b <- tS) {
@@ -113,8 +116,11 @@ object RelationScorer {
       if (d < msd) msd = d
       if (d == 0) cooc += 1
     }
-    (msd, cooc, hS.toSet.intersect(tS.toSet).toSeq.sorted)
+    (msd, cooc)
   }
+
+  private[pipeline] def evidenceOf(hSet: Set[Int], tSet: Set[Int]): Seq[Int] =
+    hSet.intersect(tSet).toSeq.sorted
 
   case class PairFeature(doc_id: Long, h_qid: String, h_type: String,
                          t_qid: String, t_type: String,
@@ -197,8 +203,15 @@ object RelationScorer {
     * shuffles (groupBy doc×qid, groupBy doc) plus the in-row pair explode;
     * here every step is per-doc driver-free Scala over the same broadcast
     * dictionary and compiled weights, so the job's only exchange is
-    * whatever the SINK needs. Row-identical to the staged path
-    * (ScorerFusedSpec) and shares q_scored_triples' oracle. */
+    * whatever the SINK needs. Row-identical to the staged path (FusedSpec)
+    * and shares q_scored_triples' oracle.
+    *
+    * PRECONDITION (same as `Stages.extractTriplesKernel`): input pages must
+    * have UNIQUE doc_id. The staged path groups mentions ACROSS rows of a
+    * doc_id, so with duplicate rows it would merge their sentence lists
+    * while this kernel processes each row independently — silently
+    * different pairs. Callers that cannot guarantee uniqueness must dedup
+    * upstream (the runner's per-bucket overwrite does). */
   def extractKernelFused(pages: DataFrame, spark: SparkSession): DataFrame = {
     import spark.implicits._
     val byFirstB = spark.sparkContext.broadcast(Stages.kernelDict)
@@ -217,6 +230,8 @@ object RelationScorer {
               (m._4._4, scala.collection.mutable.ArrayBuffer.empty[Int]))._2 += m._1
           }
           val arr = ents.toArray
+          // per-entity sets hoisted out of the k² pair loop
+          val sentSets = arr.map(_._2._2.toSet)
           val out = scala.collection.mutable.ArrayBuffer.empty[ScoredTriple]
           var i = 0
           while (i < arr.length) {
@@ -225,8 +240,10 @@ object RelationScorer {
             while (j < arr.length) {
               if (i != j) {
                 val (tQid, (tType, tS)) = arr(j)
-                val (msd, cooc, ev) = pairStats(hS, tS)
+                val (msd, cooc) = pairDistCooc(hS, tS)
                 if (cooc >= 1) {
+                  // evidence only for pairs that survive the gate
+                  val ev = evidenceOf(sentSets(i), sentSets(j))
                   val base = w.base.getOrElse((hType, tType), w.default)
                   val soft = w.wDist * disBucket(msd) + w.wCooc * math.log1p(cooc.toDouble)
                   decode(w, base, soft).foreach { case (r, s) =>
