@@ -224,6 +224,28 @@ object SparkEntry {
       eval.Evaluator.score(triples, gold)
     }),
 
+    "q_confusion" -> ((s, dir) => {
+      // A12: per-relation TP/FP/FN of the extraction vs the q_eval gold
+      val triples = Stages.extractTriplesKernel(Pages.fromDocuments(s, dir), s).cache()
+      val gold = triples.filter(col("doc_id") % 7 =!= 0)
+      eval.Evaluator.perRelationConfusion(triples, gold)
+        .orderBy(col("relation"))
+    }),
+    "q_recall_dist" -> ((s, dir) => {
+      // A13: recall of the text-only rule path against the knowledge-
+      // injected triples, per sentence-distance bucket — KB-evidenced
+      // long-range triples land in buckets ≥ 1 where same-sentence rules
+      // structurally cannot reach
+      val pages = Pages.fromDocuments(s, dir)
+      val linked = Stages.linkedFast(Stages.mentionsKernel(pages, s), s).cache()
+      val preds = Stages.extractTriplesKernel(pages, s)
+      val gold = pipeline.KnowledgeInjection.extractInjected(linked, s)
+        .select("doc_id", "subj", "pred", "obj").distinct()
+      val pairDist = pipeline.RelationScorer.pairFeatures(linked)
+      eval.Evaluator.recallByDistanceBucket(preds, gold, pairDist)
+        .orderBy(col("bucket"))
+    }),
+
     // -- text analysis (training-data pipeline ops) --
     "q_tokens" -> ((s, dir) =>
       ops.TextAnalysis.tokenStats(ops.Corpora.normDocs(s, dir)).orderBy(col("doc_id"))),
@@ -477,6 +499,80 @@ object SparkEntry {
       JOIN sent_ents t ON h.doc_id = t.doc_id AND h.sent_id = t.sent_id AND h.qid <> t.qid
     )"""
 
+  /** Shared CTE chain replaying the knowledge-injection pipeline in
+    * DuckDB (enriched pair features, 96-class integer milli-logits,
+    * adaptive-threshold decode into `decoded`) — used by
+    * q_injected_triples and the A12/A13 evaluation oracles. */
+  private def injectedCtes: String = {
+    import graft.pipeline.{KnowledgeInjection => KI}
+    s"""kg(h, r, t) AS (SELECT * FROM (VALUES ${Gazetteer.kgTripleValues}) v(h, r, t)),
+      r2r(kbp, rel) AS (SELECT * FROM (VALUES ${Gazetteer.kbRel2relValues}) v(kbp, rel)),
+      rels96(pred) AS (SELECT * FROM (VALUES ${graft.kb.DocREDVocab.relValues}) v(pred)),
+      pf AS (
+        SELECT h.doc_id, h.qid AS h_qid, h.ner_type AS h_type,
+               t.qid AS t_qid, t.ner_type AS t_type,
+               MIN(ABS(h.sent_id - t.sent_id)) AS msd,
+               SUM(CASE WHEN h.sent_id = t.sent_id THEN 1 ELSE 0 END) AS n_cooc
+        FROM linked h JOIN linked t ON h.doc_id = t.doc_id AND h.qid <> t.qid
+        GROUP BY 1, 2, 3, 4, 5),
+      docents AS (SELECT DISTINCT doc_id, qid FROM linked WHERE ner_type <> 'TIME'),
+      hop AS (SELECT DISTINCT d.doc_id, k.h, k.r, k.t
+              FROM docents d JOIN kg k ON k.h = d.qid OR k.t = d.qid),
+      direct AS (SELECT DISTINCT hop.doc_id, hop.h AS h_qid, hop.t AS t_qid, r2r.rel
+                 FROM hop JOIN r2r ON hop.r = r2r.kbp),
+      dpair AS (SELECT DISTINCT doc_id, h_qid, t_qid FROM direct),
+      pfa AS (
+        SELECT pf.* FROM pf LEFT JOIN dpair
+          ON dpair.doc_id = pf.doc_id AND dpair.h_qid = pf.h_qid AND dpair.t_qid = pf.t_qid
+        WHERE pf.n_cooc >= 1 OR dpair.h_qid IS NOT NULL),
+      und AS (SELECT DISTINCT doc_id, h AS a, t AS b FROM hop
+              UNION SELECT DISTINCT doc_id, t AS a, h AS b FROM hop),
+      nbr AS (SELECT e1.doc_id, e1.a AS h_qid, e2.a AS t_qid,
+                     COUNT(DISTINCT e1.b) AS shared_nbrs
+              FROM und e1 JOIN und e2 ON e1.doc_id = e2.doc_id AND e1.b = e2.b
+              WHERE e1.a <> e2.a AND e1.b <> e1.a AND e1.b <> e2.a
+              GROUP BY 1, 2, 3),
+      iattrs(qid, kind, text) AS (SELECT * FROM (VALUES ${Gazetteer.kgAttrValues}) v(qid, kind, text)),
+      iwide AS (SELECT qid, MAX(CASE WHEN kind = 'instance of' THEN text END) AS inst_raw
+                FROM iattrs GROUP BY qid),
+      inst AS (SELECT q.qid, COALESCE(w.inst_raw, 'entity') AS instance_of
+               FROM (SELECT DISTINCT qid FROM linked) q LEFT JOIN iwide w ON q.qid = w.qid),
+      corefc AS (
+        SELECT l.doc_id, l.qid, MAX(LEAST(c.k - 1, ${KI.CorefCap})) AS coref
+        FROM (SELECT DISTINCT doc_id, alias, qid FROM linked) l
+        JOIN (SELECT doc_id, alias, COUNT(*) AS k FROM ments GROUP BY 1, 2) c
+          ON l.doc_id = c.doc_id AND l.alias = c.alias
+        GROUP BY 1, 2),
+      iscored AS (
+        SELECT pf.doc_id, pf.h_qid, pf.t_qid, r.pred,
+          (CASE WHEN ru.pred IS NOT NULL AND pf.n_cooc >= 1 THEN ${KI.WBase} ELSE -${KI.WBase} END
+           + (${KI.WDist}) * (CASE WHEN pf.msd <= 0 THEN 0 WHEN pf.msd < 2 THEN 1
+                WHEN pf.msd < 4 THEN 2 WHEN pf.msd < 8 THEN 3 WHEN pf.msd < 16 THEN 4
+                WHEN pf.msd < 32 THEN 5 WHEN pf.msd < 64 THEN 6 WHEN pf.msd < 128 THEN 7
+                WHEN pf.msd < 256 THEN 8 ELSE 9 END)
+           + ${KI.WCoocUnit} * LEAST(pf.n_cooc, ${KI.CoocCap})
+           + CASE WHEN d.rel IS NOT NULL THEN ${KI.WDirect} ELSE 0 END
+           + ${KI.WNbrUnit} * LEAST(COALESCE(nb.shared_nbrs, 0), ${KI.NbrCap})
+           + ${KI.WCorefUnit} * (LEAST(COALESCE(ch.coref, 0), ${KI.CorefCap})
+                                 + LEAST(COALESCE(ct.coref, 0), ${KI.CorefCap}))
+           + ${KI.WAttr} * (CASE WHEN ih.instance_of = it.instance_of THEN 1 ELSE 0 END)
+          ) AS score_milli
+        FROM pfa pf
+        CROSS JOIN rels96 r
+        LEFT JOIN rules ru ON ru.h_type = pf.h_type AND ru.t_type = pf.t_type AND ru.pred = r.pred
+        LEFT JOIN direct d ON d.doc_id = pf.doc_id AND d.h_qid = pf.h_qid
+                          AND d.t_qid = pf.t_qid AND d.rel = r.pred
+        LEFT JOIN nbr nb ON nb.doc_id = pf.doc_id AND nb.h_qid = pf.h_qid AND nb.t_qid = pf.t_qid
+        LEFT JOIN corefc ch ON ch.doc_id = pf.doc_id AND ch.qid = pf.h_qid
+        LEFT JOIN corefc ct ON ct.doc_id = pf.doc_id AND ct.qid = pf.t_qid
+        JOIN inst ih ON ih.qid = pf.h_qid
+        JOIN inst it ON it.qid = pf.t_qid),
+      decoded AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id, h_qid, t_qid
+                   ORDER BY score_milli DESC, pred ASC) AS rk
+        FROM iscored WHERE score_milli > 0)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
@@ -624,80 +720,62 @@ object SparkEntry {
       FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type
       ORDER BY 1, 2, 3, 4""",
     "q_injected_triples" -> {
-      import graft.pipeline.{KnowledgeInjection => KI}
       s"""
       WITH $kbCtes,
-      kg(h, r, t) AS (SELECT * FROM (VALUES ${Gazetteer.kgTripleValues}) v(h, r, t)),
-      r2r(kbp, rel) AS (SELECT * FROM (VALUES ${Gazetteer.kbRel2relValues}) v(kbp, rel)),
-      rels96(pred) AS (SELECT * FROM (VALUES ${graft.kb.DocREDVocab.relValues}) v(pred)),
-      pf AS (
-        SELECT h.doc_id, h.qid AS h_qid, h.ner_type AS h_type,
-               t.qid AS t_qid, t.ner_type AS t_type,
-               MIN(ABS(h.sent_id - t.sent_id)) AS msd,
-               SUM(CASE WHEN h.sent_id = t.sent_id THEN 1 ELSE 0 END) AS n_cooc
-        FROM linked h JOIN linked t ON h.doc_id = t.doc_id AND h.qid <> t.qid
-        GROUP BY 1, 2, 3, 4, 5),
-      docents AS (SELECT DISTINCT doc_id, qid FROM linked WHERE ner_type <> 'TIME'),
-      hop AS (SELECT DISTINCT d.doc_id, k.h, k.r, k.t
-              FROM docents d JOIN kg k ON k.h = d.qid OR k.t = d.qid),
-      direct AS (SELECT DISTINCT hop.doc_id, hop.h AS h_qid, hop.t AS t_qid, r2r.rel
-                 FROM hop JOIN r2r ON hop.r = r2r.kbp),
-      dpair AS (SELECT DISTINCT doc_id, h_qid, t_qid FROM direct),
-      pfa AS (
-        SELECT pf.* FROM pf LEFT JOIN dpair
-          ON dpair.doc_id = pf.doc_id AND dpair.h_qid = pf.h_qid AND dpair.t_qid = pf.t_qid
-        WHERE pf.n_cooc >= 1 OR dpair.h_qid IS NOT NULL),
-      und AS (SELECT DISTINCT doc_id, h AS a, t AS b FROM hop
-              UNION SELECT DISTINCT doc_id, t AS a, h AS b FROM hop),
-      nbr AS (SELECT e1.doc_id, e1.a AS h_qid, e2.a AS t_qid,
-                     COUNT(DISTINCT e1.b) AS shared_nbrs
-              FROM und e1 JOIN und e2 ON e1.doc_id = e2.doc_id AND e1.b = e2.b
-              WHERE e1.a <> e2.a AND e1.b <> e1.a AND e1.b <> e2.a
-              GROUP BY 1, 2, 3),
-      iattrs(qid, kind, text) AS (SELECT * FROM (VALUES ${Gazetteer.kgAttrValues}) v(qid, kind, text)),
-      iwide AS (SELECT qid, MAX(CASE WHEN kind = 'instance of' THEN text END) AS inst_raw
-                FROM iattrs GROUP BY qid),
-      inst AS (SELECT q.qid, COALESCE(w.inst_raw, 'entity') AS instance_of
-               FROM (SELECT DISTINCT qid FROM linked) q LEFT JOIN iwide w ON q.qid = w.qid),
-      corefc AS (
-        SELECT l.doc_id, l.qid, MAX(LEAST(c.k - 1, ${KI.CorefCap})) AS coref
-        FROM (SELECT DISTINCT doc_id, alias, qid FROM linked) l
-        JOIN (SELECT doc_id, alias, COUNT(*) AS k FROM ments GROUP BY 1, 2) c
-          ON l.doc_id = c.doc_id AND l.alias = c.alias
-        GROUP BY 1, 2),
-      iscored AS (
-        SELECT pf.doc_id, pf.h_qid, pf.t_qid, r.pred,
-          (CASE WHEN ru.pred IS NOT NULL AND pf.n_cooc >= 1 THEN ${KI.WBase} ELSE -${KI.WBase} END
-           + (${KI.WDist}) * (CASE WHEN pf.msd <= 0 THEN 0 WHEN pf.msd < 2 THEN 1
-                WHEN pf.msd < 4 THEN 2 WHEN pf.msd < 8 THEN 3 WHEN pf.msd < 16 THEN 4
-                WHEN pf.msd < 32 THEN 5 WHEN pf.msd < 64 THEN 6 WHEN pf.msd < 128 THEN 7
-                WHEN pf.msd < 256 THEN 8 ELSE 9 END)
-           + ${KI.WCoocUnit} * LEAST(pf.n_cooc, ${KI.CoocCap})
-           + CASE WHEN d.rel IS NOT NULL THEN ${KI.WDirect} ELSE 0 END
-           + ${KI.WNbrUnit} * LEAST(COALESCE(nb.shared_nbrs, 0), ${KI.NbrCap})
-           + ${KI.WCorefUnit} * (LEAST(COALESCE(ch.coref, 0), ${KI.CorefCap})
-                                 + LEAST(COALESCE(ct.coref, 0), ${KI.CorefCap}))
-           + ${KI.WAttr} * (CASE WHEN ih.instance_of = it.instance_of THEN 1 ELSE 0 END)
-          ) AS score_milli
-        FROM pfa pf
-        CROSS JOIN rels96 r
-        LEFT JOIN rules ru ON ru.h_type = pf.h_type AND ru.t_type = pf.t_type AND ru.pred = r.pred
-        LEFT JOIN direct d ON d.doc_id = pf.doc_id AND d.h_qid = pf.h_qid
-                          AND d.t_qid = pf.t_qid AND d.rel = r.pred
-        LEFT JOIN nbr nb ON nb.doc_id = pf.doc_id AND nb.h_qid = pf.h_qid AND nb.t_qid = pf.t_qid
-        LEFT JOIN corefc ch ON ch.doc_id = pf.doc_id AND ch.qid = pf.h_qid
-        LEFT JOIN corefc ct ON ct.doc_id = pf.doc_id AND ct.qid = pf.t_qid
-        JOIN inst ih ON ih.qid = pf.h_qid
-        JOIN inst it ON it.qid = pf.t_qid),
-      decoded AS (
-        SELECT *, row_number() OVER (PARTITION BY doc_id, h_qid, t_qid
-                   ORDER BY score_milli DESC, pred ASC) AS rk
-        FROM iscored WHERE score_milli > 0)
+      $injectedCtes
       SELECT doc_id, h_qid AS subj, pred, t_qid AS obj,
              CAST(score_milli AS BIGINT) AS score_milli
       FROM decoded WHERE rk <= ${graft.pipeline.RelationScorer.MaxLabels}
       ORDER BY 1, 2, 3, 4"""
     },
+    "q_confusion" -> s"""
+      WITH $kbCtes,
+      trip AS (
+        SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
+        FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type),
+      g AS (SELECT * FROM trip WHERE doc_id % 7 <> 0),
+      fo AS (
+        SELECT COALESCE(t.pred, g.pred) AS relation,
+               (t.doc_id IS NOT NULL AND g.doc_id IS NOT NULL) AS is_tp,
+               (t.doc_id IS NOT NULL AND g.doc_id IS NULL) AS is_fp,
+               (t.doc_id IS NULL AND g.doc_id IS NOT NULL) AS is_fn
+        FROM trip t FULL OUTER JOIN g
+          ON t.doc_id = g.doc_id AND t.subj = g.subj
+         AND t.pred = g.pred AND t.obj = g.obj)
+      SELECT relation,
+             CAST(SUM(CASE WHEN is_tp THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN is_fp THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN is_fn THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM fo GROUP BY 1 ORDER BY 1""",
+
+    "q_recall_dist" -> s"""
+      WITH $kbCtes,
+      $injectedCtes,
+      golds AS (SELECT DISTINCT doc_id, h_qid AS subj, pred, t_qid AS obj
+                FROM decoded WHERE rk <= ${graft.pipeline.RelationScorer.MaxLabels}),
+      trip AS (
+        SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
+        FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type),
+      bq AS (
+        SELECT g.*,
+               CAST(CASE WHEN COALESCE(pf.msd, 0) <= 0 THEN 0
+                    WHEN pf.msd < 2 THEN 1 WHEN pf.msd < 4 THEN 2
+                    WHEN pf.msd < 8 THEN 3 WHEN pf.msd < 16 THEN 4
+                    WHEN pf.msd < 32 THEN 5 WHEN pf.msd < 64 THEN 6
+                    WHEN pf.msd < 128 THEN 7 WHEN pf.msd < 256 THEN 8
+                    ELSE 9 END AS INT) AS bucket,
+               (t.doc_id IS NOT NULL) AS hit
+        FROM golds g
+        LEFT JOIN pf ON pf.doc_id = g.doc_id AND pf.h_qid = g.subj
+                    AND pf.t_qid = g.obj
+        LEFT JOIN trip t ON t.doc_id = g.doc_id AND t.subj = g.subj
+                        AND t.pred = g.pred AND t.obj = g.obj)
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_gold,
+             CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS recall_permille
+      FROM bq GROUP BY 1 ORDER BY 1""",
+
     "q_eval" -> s"""
       WITH $kbCtes,
       trip AS (
