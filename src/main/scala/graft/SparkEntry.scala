@@ -246,6 +246,28 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    "q_theta_sweep" -> ((s, dir) => {
+      // W2: the exact PR sweep over the injected milli-logit scores against
+      // the rule-path gold (with the J6 intrain flag). The exact sweep is
+      // the dev-set-sized variant; its distributed binned twin is pinned
+      // ≤ 1 permille from it in EvalExtrasSpec.
+      val pages = Pages.fromDocuments(s, dir)
+      val linked = Stages.linkedFast(Stages.mentionsKernel(pages, s), s).cache()
+      val scoredT = pipeline.KnowledgeInjection.extractInjected(linked, s)
+        .select(col("doc_id"), col("subj"), col("pred"), col("obj"),
+          col("score_milli").cast("double").as("score"))
+        .distinct()
+      val gold = Stages.extractTriplesKernel(pages, s)
+        .withColumn("intrain", col("doc_id") % 3 === 0)
+      eval.Evaluator.thetaSweep(scoredT, gold)
+        .select(col("i"), col("score").cast("long").as("score_milli"),
+          col("correct"), col("cum_correct"), col("cum_correct_ign"),
+          floor(col("p_permille")).cast("long").as("p_permille"),
+          floor(col("r_permille")).cast("long").as("r_permille"),
+          col("is_best").cast("int").as("is_best"))
+        .orderBy(col("i"))
+    }),
+
     // -- text analysis (training-data pipeline ops) --
     "q_tokens" -> ((s, dir) =>
       ops.TextAnalysis.tokenStats(ops.Corpora.normDocs(s, dir)).orderBy(col("doc_id"))),
@@ -775,6 +797,41 @@ object SparkEntry {
              CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
              CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS recall_permille
       FROM bq GROUP BY 1 ORDER BY 1""",
+
+    "q_theta_sweep" -> s"""
+      WITH $kbCtes,
+      $injectedCtes,
+      scored AS (SELECT DISTINCT doc_id, h_qid AS subj, pred, t_qid AS obj, score_milli
+                 FROM decoded WHERE rk <= ${graft.pipeline.RelationScorer.MaxLabels}),
+      trip AS (
+        SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
+        FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type),
+      g AS (SELECT *, doc_id % 3 = 0 AS intrain FROM trip),
+      m AS (
+        SELECT s.*,
+               CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS correct,
+               CASE WHEN g.doc_id IS NOT NULL AND NOT g.intrain THEN 1 ELSE 0 END AS correct_ign
+        FROM scored s LEFT JOIN g ON s.doc_id = g.doc_id AND s.subj = g.subj
+                                 AND s.pred = g.pred AND s.obj = g.obj),
+      wm AS (
+        SELECT *,
+               row_number() OVER ord AS i,
+               SUM(correct) OVER (ord ROWS UNBOUNDED PRECEDING) AS cum_correct,
+               SUM(correct_ign) OVER (ord ROWS UNBOUNDED PRECEDING) AS cum_correct_ign
+        FROM m
+        WINDOW ord AS (ORDER BY score_milli DESC, doc_id ASC, subj ASC, pred ASC, obj ASC)),
+      gn AS (SELECT COUNT(*) AS n_gold FROM g),
+      best AS (
+        SELECT i AS best_i FROM wm, gn
+        ORDER BY CAST(cum_correct AS DOUBLE) / (gn.n_gold + i) DESC, i ASC LIMIT 1)
+      SELECT CAST(wm.i AS BIGINT) AS i, CAST(score_milli AS BIGINT) AS score_milli,
+             CAST(correct AS BIGINT) AS correct,
+             CAST(cum_correct AS BIGINT) AS cum_correct,
+             CAST(cum_correct_ign AS BIGINT) AS cum_correct_ign,
+             CAST(cum_correct * 1000 // wm.i AS BIGINT) AS p_permille,
+             CAST(cum_correct * 1000 // gn.n_gold AS BIGINT) AS r_permille,
+             CAST(CASE WHEN wm.i = best.best_i THEN 1 ELSE 0 END AS INT) AS is_best
+      FROM wm, gn, best ORDER BY 1""",
 
     "q_eval" -> s"""
       WITH $kbCtes,
