@@ -248,10 +248,12 @@ object SparkEntry {
 
     "q_theta_sweep" -> ((s, dir) => {
       // W2: the exact PR sweep over the injected milli-logit scores against
-      // the rule-path gold (with the J6 intrain flag). The exact sweep is
-      // the dev-set-sized variant; its distributed binned twin is pinned
-      // ≤ 1 permille from it in EvalExtrasSpec.
-      val pages = Pages.fromDocuments(s, dir)
+      // the rule-path gold (with the J6 intrain flag), on a 10% dev slice —
+      // the reference sweeps a DEV SET, and the exact sweep's global window
+      // is only the right tool at dev-set size (the distributed binned twin,
+      // pinned ≤ 1 permille from it in EvalExtrasSpec, is the corpus-scale
+      // path). The slice filter pushes to the page scan.
+      val pages = Pages.fromDocuments(s, dir).filter(col("doc_id") % 10 === 0)
       val linked = Stages.linkedFast(Stages.mentionsKernel(pages, s), s).cache()
       val scoredT = pipeline.KnowledgeInjection.extractInjected(linked, s)
         .select(col("doc_id"), col("subj"), col("pred"), col("obj"),
@@ -802,10 +804,12 @@ object SparkEntry {
       WITH $kbCtes,
       $injectedCtes,
       scored AS (SELECT DISTINCT doc_id, h_qid AS subj, pred, t_qid AS obj, score_milli
-                 FROM decoded WHERE rk <= ${graft.pipeline.RelationScorer.MaxLabels}),
+                 FROM decoded WHERE rk <= ${graft.pipeline.RelationScorer.MaxLabels}
+                   AND doc_id % 10 = 0),
       trip AS (
         SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
-        FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type),
+        FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type
+        WHERE p.doc_id % 10 = 0),
       g AS (SELECT *, doc_id % 3 = 0 AS intrain FROM trip),
       m AS (
         SELECT s.*,
