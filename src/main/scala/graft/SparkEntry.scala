@@ -238,7 +238,9 @@ object SparkEntry {
       // structurally cannot reach
       val pages = Pages.fromDocuments(s, dir)
       val linked = Stages.linkedFast(Stages.mentionsKernel(pages, s), s).cache()
-      val preds = Stages.extractTriplesKernel(pages, s)
+      // rule triples from the CACHED linked table (pinned row-identical to
+      // the kernel extraction) — no second pass over the page text
+      val preds = Stages.triples(Stages.pairs(linked), s)
       val gold = pipeline.KnowledgeInjection.extractInjected(linked, s)
         .select("doc_id", "subj", "pred", "obj").distinct()
       val pairDist = pipeline.RelationScorer.pairFeatures(linked)
@@ -259,7 +261,7 @@ object SparkEntry {
         .select(col("doc_id"), col("subj"), col("pred"), col("obj"),
           col("score_milli").cast("double").as("score"))
         .distinct()
-      val gold = Stages.extractTriplesKernel(pages, s)
+      val gold = Stages.triples(Stages.pairs(linked), s)
         .withColumn("intrain", col("doc_id") % 3 === 0)
       eval.Evaluator.thetaSweep(scoredT, gold)
         .select(col("i"), col("score").cast("long").as("score_milli"),
