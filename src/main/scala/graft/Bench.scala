@@ -22,8 +22,10 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // queries are independent: drop caches created inside the closure
       // (mention lineage, DenseIds intermediates) so later timings measure
-      // their own work, not earlier queries' storage pressure
+      // their own work, not earlier queries' storage pressure; release also
+      // drains DenseIds' plan-tree references (clearCache alone does not)
       spark.catalog.clearCache()
+      graft.ops.DenseIds.releasePersisted()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

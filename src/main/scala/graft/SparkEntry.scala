@@ -1151,7 +1151,8 @@ object SparkEntry {
       vcells AS (
         SELECT d.vec_id, d.cell,
                row_number() OVER (PARTITION BY d.vec_id
-                 ORDER BY CAST(d.cdot AS DOUBLE) / sqrt(CAST(v.norm2 AS DOUBLE) * CAST(c.cn AS DOUBLE)) DESC,
+                 ORDER BY CASE WHEN v.norm2 = 0 OR c.cn = 0 THEN -2.0
+                   ELSE CAST(d.cdot AS DOUBLE) / sqrt(CAST(v.norm2 AS DOUBLE) * CAST(c.cn AS DOUBLE)) END DESC,
                           d.cell ASC) AS crk
         FROM vcdot d JOIN qn2 v ON d.vec_id = v.vec_id JOIN cents c ON d.cell = c.cell),
       assign AS (SELECT vec_id, cell FROM vcells WHERE crk = 1),
@@ -1167,7 +1168,8 @@ object SparkEntry {
       ranked AS (
         SELECT d.query_id, d.neighbor_id, d.dot,
                row_number() OVER (PARTITION BY d.query_id
-                 ORDER BY CAST(d.dot AS DOUBLE) / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) DESC,
+                 ORDER BY CASE WHEN na.norm2 = 0 OR nb.norm2 = 0 THEN -2.0
+                   ELSE CAST(d.dot AS DOUBLE) / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) END DESC,
                           d.neighbor_id ASC) AS rank
         FROM dots d
         JOIN qn2 na ON d.query_id = na.vec_id

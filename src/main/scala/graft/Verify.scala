@@ -26,8 +26,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // per-query cache hygiene (queries are independent; see Bench)
+      // per-query cache hygiene (queries are independent; see Bench); the
+      // release also drains DenseIds' plan-tree refs, which clearCache
+      // alone leaves accumulating
       spark.catalog.clearCache()
+      graft.ops.DenseIds.releasePersisted()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -34,10 +34,13 @@ object DenseIds {
     * Persisting pins one physical partitioning for both passes. The cache
     * entry is dictionary-scale (the inputs here are vocabularies), but it
     * lives until released: after FULLY consuming the returned frame (write/
-    * collect), call `DenseIds.releasePersisted()` (or
-    * `spark.catalog.clearCache()`) — the Verify/Bench mains do this between
-    * queries. Unpersisting earlier would let pass 2 re-execute the exchange
-    * and re-open the boundary hazard this persist exists to close.
+    * collect), call `DenseIds.releasePersisted()` — the Verify/Bench mains
+    * do this between queries. (`spark.catalog.clearCache()` alone drops the
+    * cached DATA but not this object's strong references to the plan trees,
+    * so a long-lived session that only clears the cache still accumulates
+    * one QueryExecution per id assignment.) Unpersisting earlier would let
+    * pass 2 re-execute the exchange and re-open the boundary hazard this
+    * persist exists to close.
     *
     * An unseen partition id in pass 2 is a hard error (raise_error), never a
     * silent offset-0 fallback. */

@@ -131,31 +131,41 @@ object Similarity {
     *
     * Scale shape: the codebook is collected to ONE row and broadcast
     * (nlist·dims ints — ~64 MB at nlist 2¹⁶ × dims 128, broadcastable);
-    * cell assignment is an in-row argmax over that array — ZERO shuffle for
+    * cell assignment for CORPUS rows is a RUNNING lexicographic min over
+    * the codebook (`aggregate` HOF) — O(nlist) comparisons per row with no
+    * per-row array materialization or O(nlist·log nlist) sort; only the
+    * (few) probe rows build the fully-ranked cell list. ZERO shuffle for
     * the corpus scan, no N×nlist row blowup. The only shuffle is the
     * candidate join keyed by cell (mean fan-in N/nlist; a hot cell is an
     * AQE skew-join / `Skew.saltedJoin` case). Ties (equal cosine) break to
-    * the lowest cell id in both engines. */
+    * the lowest cell id in both engines. A zero-norm vector or centroid is
+    * given cosine −2 (below any true cosine) in BOTH engines — the 0/0 NaN
+    * it would otherwise produce sorts oppositely in Spark's ascending
+    * array_sort (NaN last) and DuckDB's ORDER BY … DESC (NaN first). */
   def ivfTopK(embeddings: DataFrame, k: Int, probeMaxId: Long,
               nlist: Int, nprobe: Int, spark: SparkSession): DataFrame = {
     val q = quantized(embeddings)
     val codebook = q.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cell"), col("q").as("cq"), col("norm2").as("cn"))
       .agg(array_sort(collect_list(struct(col("cell"), col("cq"), col("cn")))).as("cents"))
-    // (-cosine, cell) structs sort lexicographically = cosine desc, cell asc
-    val byCell = q.crossJoin(broadcast(codebook))
-      .withColumn("ranked_cells", array_sort(
-        transform(col("cents"), c => struct(
-          (lit(-1.0) * dotQ(col("q"), c.getField("cq")).cast("double") /
-            sqrt(col("norm2").cast("double") * c.getField("cn").cast("double")))
-            .as("negcos"),
-          c.getField("cell").as("cell")))))
-      .drop("cents")
-    val assigned = byCell
-      .withColumn("cell", element_at(col("ranked_cells"), 1).getField("cell"))
+    // (-cosine, cell) pairs order lexicographically = cosine desc, cell asc
+    def negCosCell(c: Column) = struct(
+      when(col("norm2") === 0 || c.getField("cn") === 0, lit(2.0))
+        .otherwise(lit(-1.0) * dotQ(col("q"), c.getField("cq")).cast("double") /
+          sqrt(col("norm2").cast("double") * c.getField("cn").cast("double")))
+        .as("negcos"),
+      c.getField("cell").cast("long").as("cell"))
+    val withCents = q.crossJoin(broadcast(codebook))
+    val assigned = withCents
+      .withColumn("cell",
+        aggregate(col("cents"),
+          struct(lit(Double.MaxValue).as("negcos"), lit(Long.MaxValue).as("cell")),
+          (acc, c) => { val cand = negCosCell(c); when(cand < acc, cand).otherwise(acc) })
+          .getField("cell"))
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("q").as("qb"), col("norm2").as("nb"))
-    val probes = byCell.filter(col("vec_id") < probeMaxId)
+    val probes = withCents.filter(col("vec_id") < probeMaxId)
+      .withColumn("ranked_cells", array_sort(transform(col("cents"), negCosCell(_))))
       .select(col("vec_id").as("query_id"),
         explode(transform(slice(col("ranked_cells"), 1, nprobe),
           c => c.getField("cell"))).as("cell"),
@@ -169,7 +179,8 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("dot", dotQ(col("qa"), col("qb")))
       .withColumn("cosine",
-        col("dot").cast("double") / sqrt(col("na").cast("double") * col("nb").cast("double")))
+        when(col("na") === 0 || col("nb") === 0, lit(-2.0)).otherwise(
+          col("dot").cast("double") / sqrt(col("na").cast("double") * col("nb").cast("double"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "dot")

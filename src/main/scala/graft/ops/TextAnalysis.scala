@@ -85,7 +85,10 @@ object TextAnalysis {
       BigInt(WinnowB).modPow(BigInt(WinnowK - 1 - j), BigInt(WinnowM)).toLong)
 
   def winnow(text: String, k: Int = WinnowK, w: Int = WinnowW): Seq[Long] = {
-    val s = text
+    // hash UNICODE CODEPOINTS, not UTF-16 code units: the DuckDB oracle's
+    // substring/unicode/length are codepoint-based, so hashing surrogate
+    // halves would silently diverge on any astral-plane char (emoji)
+    val s = text.codePoints.toArray
     if (s.length < k) return Seq.empty
     // modulus sized so h*B and char*pow never overflow a Long
     val B = WinnowB
@@ -95,8 +98,8 @@ object TextAnalysis {
     val hashes = new Array[Long](s.length - k + 1)
     var h = 0L
     for (i <- 0 until s.length) {
-      if (i >= k) h = (h - s.charAt(i - k) * pow % M + M * 2) % M
-      h = (h * B + s.charAt(i)) % M
+      if (i >= k) h = (h - s(i - k) * pow % M + M * 2) % M
+      h = (h * B + s(i)) % M
       if (i >= k - 1) hashes(i - k + 1) = h
     }
     if (hashes.length <= w) return Seq(hashes.min).distinct

@@ -31,7 +31,16 @@ object Coref {
     * `gen_coref_data.py:160-188`, survivable only via its 3,200-pair doc
     * cap). One shuffle (the groupBy); no self-join anywhere in the plan
     * (CorefSpec asserts both the plan shape and equality with the join
-    * formulation). */
+    * formulation).
+    *
+    * PRECONDITION: pos_start values are DISTINCT per (doc_id, alias) — the
+    * mention detector emits each (doc, alias, position) once, so this holds
+    * whenever input pages have unique doc_id (the same precondition the
+    * extraction kernels document). Duplicate positions (a doc ingested
+    * twice) crowd the 16-candidate window with copies and drop real
+    * partners — and make the join formulation itself nondeterministic (its
+    * row_number ties on both dist and p2). CorefSpec pins the divergence
+    * explicitly. */
   def aliasCoref(mentions: DataFrame): DataFrame = {
     val k = TopPartners
     mentions

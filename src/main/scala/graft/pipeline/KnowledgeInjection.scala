@@ -33,8 +33,12 @@ import graft.kb.Gazetteer
   * 1860 < 2000; the distance term only penalizes), while a DIRECT KB edge
   * contributes +4500 to its suggested relation (−2000 − 450 + 4500 > 0 at
   * any distance) — KG evidence, and only KG evidence, flips decodes.
-  * Injected output = rule-path triples ∪ KB-evidenced triples, by
-  * construction and by InjectionSpec.
+  * Injected output = rule-path triples ∪ KB-evidenced triples, CAPPED at
+  * top-4 logits per pair (the reference's unconditional decode cap,
+  * `ATLOP+KIRE/losses.py:32-42`): a co-occurring pair with ≥4 distinct
+  * KB-suggested relations (each +4500 > the rule's +2000 base margin)
+  * evicts its rule triple from the top-4 — reference-faithful, and pinned
+  * explicitly (kernel ≡ relational twin) in InjectionSpec's eviction case.
   */
 object KnowledgeInjection {
 

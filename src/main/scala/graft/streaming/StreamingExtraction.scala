@@ -97,9 +97,21 @@ object StreamingExtraction {
 
   /** Stage a single documents.parquet into an n-file directory — the sandbox
     * stand-in for a crawl feed directory (each file ≈ one crawl increment).
-    * Deterministic content; idempotent per (sfDir, n) via marker file. */
+    * Deterministic content; idempotent per (sfDir, n, source content) via
+    * marker file. The staged path is keyed on a fingerprint of the SOURCE
+    * file listing (names + sizes + mtimes), so regenerating the testdata
+    * invalidates the stage instead of silently replaying stale documents
+    * against a fresh oracle (the same stale-cache class `Scaling`'s layout
+    * token guards against). */
   def stageDocsDir(spark: SparkSession, sfDir: String, n: Int): String = {
-    val out = s"/tmp/graft_stream_docs_${n}f_" +
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val listing = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val srcTok = java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val out = s"/tmp/graft_stream_docs_${n}f_${srcTok}_" +
       sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
     val done = new java.io.File(out, "_SUCCESS")
     if (!done.exists()) {

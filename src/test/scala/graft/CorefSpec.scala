@@ -47,4 +47,22 @@ class CorefSpec extends AnyFunSuite {
       .select("p2").collect().map(_.getInt(0)).toSeq
     assert(mid == Seq(1497, 1503, 1494, 1506, 1491, 1509, 1488, 1512))
   }
+
+  test("duplicate positions (duplicated doc) violate the precondition — divergence is real") {
+    // aliasCoref's distinct-positions precondition (see its scaladoc): a doc
+    // ingested 9× duplicates every pos_start and the two formulations no
+    // longer even agree on what a "mention" is — the join twin keys its
+    // window by VALUE (one 8-capped partition per distinct p1: 2·8 = 16
+    // rows, ranked nondeterministically among equal (dist, p2) ties), while
+    // the in-row posexplode emits one row per INSTANCE with copy-crowded
+    // candidate windows (72 rows here). This pins the divergence the
+    // precondition exists to exclude.
+    val base = Seq(5, 9).map(p => (1L, 0, p, p, "a"))
+    val dup9 = (1 to 9).flatMap(_ => base)
+      .toDF("doc_id", "sent_id", "pos_start", "pos_end", "alias")
+    val inRow = Coref.aliasCoref(dup9).count()
+    val join = Coref.aliasCorefJoin(dup9).count()
+    assert(join == 16L && inRow == 72L && inRow != join,
+      s"expected the documented divergence (in-row $inRow vs join $join)")
+  }
 }

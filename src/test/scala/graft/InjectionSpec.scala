@@ -102,6 +102,26 @@ class InjectionSpec extends AnyFunSuite {
     assert(got == Set(("Q4", "P463", "Q8", 2400L)))
   }
 
+  test("decode cap: >=4 higher-scoring KB-suggested relations evict the rule triple") {
+    // the reference's top-4 decode cap (ATLOP+KIRE/losses.py:32-42) is
+    // UNCONDITIONAL: with 4 distinct KB-suggested relations each scoring
+    // −2000 + 100 + 4500 = 2600, the rule triple (2000 + 100 = 2100) falls
+    // to rank 5 and is evicted. The fixture KB never suggests 4 relations
+    // per pair, so this constructs the feature row directly — pinning the
+    // cap semantics (and kernel ≡ twin) where the union property breaks.
+    val sugg = DocREDVocab.relations.filter(_ != "P488").sorted.take(4)
+    val f = Seq(KI.InjectedFeature(1L, "Q8", "ORG", "Q4", "PER",
+      0, 1L, Seq(0), sugg, 0, 0, 0, 0)).toDS().toDF()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("subj", "pred", "obj", "score_milli").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val kernel = canon(KI.scoreInjected(f, spark))
+    assert(kernel == sugg.map(r => ("Q8", r, "Q4", 2600L)).toSet,
+      s"expected exactly the 4 suggested relations at 2600, got $kernel")
+    assert(!kernel.exists(_._2 == "P488"), "rule triple must be evicted by the cap")
+    assert(kernel == canon(KI.scoreInjectedRelational(f)), "kernel must equal twin")
+  }
+
   test("coref + neighborhood features are live dataflow (nonzero on fixture)") {
     assert(feats.filter(col("h_coref") > 0).count() > 0, "coref feature dead")
     assert(feats.filter(col("shared_nbrs") > 0).count() > 0, "neighbor feature dead")

@@ -186,6 +186,60 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(1L) == fa && rows(2L) == fb)
   }
 
+  test("winnowing hashes Unicode codepoints, not UTF-16 units (oracle parity)") {
+    // DuckDB's substring/unicode/length are codepoint-based; an astral-plane
+    // char (one codepoint, two UTF-16 units) must hash as ONE symbol. The
+    // expected value is computed by an INDEPENDENT path — the direct
+    // polynomial Σ cp·B^(k−1−j) mod M (the oracle SQL's formulation) —
+    // against the kernel's incremental rolling recurrence.
+    val t = "ab😀cdefghij" // "ab😀cdefghij": 12 codepoints, 13 UTF-16 units
+    val cps = t.codePoints.toArray
+    val k = TextAnalysis.WinnowK
+    val B = BigInt(TextAnalysis.WinnowB); val M = BigInt(TextAnalysis.WinnowM)
+    val grams = (0 to cps.length - k).map { g =>
+      (0 until k).map(j => BigInt(cps(g + j)) * B.modPow(k - 1 - j, M)).sum.mod(M).toLong
+    }
+    assert(grams.length == cps.length - k + 1) // 5 grams (≤ w) → single min fingerprint
+    assert(TextAnalysis.winnow(t) == Seq(grams.min),
+      "rolling-hash kernel must equal the direct codepoint polynomial")
+  }
+
+  test("IVF: zero-norm vectors/centroids are NaN-free and match an independent twin") {
+    import spark.implicits._
+    // 10 vectors, dims 4; vec 1 is a ZERO CENTROID (nlist 4), vec 7 a zero
+    // corpus vector — the 0/0 cosine case that would sort oppositely in
+    // Spark (array_sort: NaN last) and DuckDB (ORDER BY DESC: NaN first)
+    // without the cosine := −2 guard.
+    val dims = 4
+    val vecs: Seq[(Long, Array[Double])] = (0L to 9L).map { i =>
+      i -> (if (i == 1 || i == 7) Array.fill(dims)(0.0)
+            else Array.tabulate(dims)(d => math.sin(i * 7 + d * 3) + 0.1 * d))
+    }
+    val emb = vecs.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+      .toDF("vec_id", "embedding")
+    val nlist = 4; val nprobe = 2; val k = 3; val probeMax = 3L
+    val got = Similarity.ivfTopK(emb, k, probeMax, nlist, nprobe, spark)
+      .select("query_id", "neighbor_id", "rank", "dot").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    // independent driver-side twin with identical declared semantics
+    val q = vecs.map { case (id, v) => id -> v.map(x => math.floor(x * 1000 + 0.5).toLong) }.toMap
+    def dot(a: Array[Long], b: Array[Long]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val na = dot(a, a); val nb = dot(b, b)
+      if (na == 0L || nb == 0L) -2.0 else dot(a, b).toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    }
+    val cells = (0L until nlist.toLong).toSeq
+    def rankedCells(id: Long) = cells.sortBy(c => (-cos(q(id), q(c)), c))
+    val assign = (0L to 9L).map(id => id -> rankedCells(id).head).toMap
+    val twin = (for {
+      qid <- 0L until probeMax
+      probed = rankedCells(qid).take(nprobe).toSet
+      cands = (0L to 9L).filter(n => n != qid && probed.contains(assign(n)))
+      (n, r) <- cands.sortBy(n => (-cos(q(qid), q(n)), n)).take(k).zipWithIndex
+    } yield (qid, n, r + 1, dot(q(qid), q(n)))).toSet
+    assert(got == twin, s"ivfTopK ${got.toSeq.sorted} != twin ${twin.toSeq.sorted}")
+  }
+
   test("cosineNearDups finds planted embedding duplicates via LSH buckets") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val corpus = Corpora.withEmbeddingDups(emb)
