@@ -310,6 +310,20 @@ object SparkEntry {
         min(col("n_toks")).as("min_tokens"),
         (sum(col("n_toks").cast("long")) * 1000 / count(lit(1))).cast("long").as("avg_tokens_milli"))
     }),
+    "q_sentence_vecs" -> ((s, dir) =>
+      // A11 sentence-node pooling: per-sentence token-vector sums over the
+      // md5-derived deterministic embedding — integer-exact, fully in-row
+      pipeline.VectorFeatures.sentenceVectors(Pages.fromDocuments(s, dir))
+        .orderBy(col("doc_id"), col("sent_id"), col("dim"))),
+    "q_mention_vecs" -> ((s, dir) => {
+      // A10 token→mention pooling (sums): linked mention spans × the same
+      // embedding; the float mean (and its M6 norm_mask formulation) is
+      // spec-pinned in VectorFeaturesSpec
+      val pages = Pages.fromDocuments(s, dir).cache()
+      val linked = Stages.linkedFast(Stages.mentionsKernel(pages, s), s)
+      pipeline.VectorFeatures.mentionVectors(linked, pages)
+        .orderBy(col("doc_id"), col("pos_start"), col("pos_end"), col("qid"), col("dim"))
+    }),
     "q_entity2id" -> ((s, dir) => {
       val triples = Stages.extractTriplesKernel(Pages.fromDocuments(s, dir), s).cache()
       sinks.Dictionaries.entity2id(triples).orderBy(col("id"))
@@ -961,6 +975,26 @@ object SparkEntry {
              CAST(MIN(n_toks) AS INT) AS min_tokens,
              CAST(SUM(n_toks) * 1000 // COUNT(*) AS BIGINT) AS avg_tokens_milli
       FROM d""",
+    "q_sentence_vecs" -> s"""
+      WITH $kbCtes
+      SELECT s.doc_id, s.sent_id, CAST(d.d AS INT) AS dim,
+             CAST(list_sum(list_transform(s.stoks, t ->
+               unicode(substring(md5(t), CAST(d.d + 1 AS INT), 1)) - 80)) AS BIGINT) AS comp_sum,
+             CAST(len(s.stoks) AS INT) AS n_toks
+      FROM sents s, (SELECT unnest(range(${pipeline.VectorFeatures.Dims})) AS d) d
+      ORDER BY 1, 2, 3""",
+    "q_mention_vecs" -> s"""
+      WITH $kbCtes,
+      sm AS (
+        SELECT l.doc_id, l.sent_id, l.pos_start, l.pos_end, l.qid,
+               s.stoks[(l.pos_start - s.st + 1):(l.pos_end - s.st + 1)] AS span_toks
+        FROM linked l JOIN sents s ON l.doc_id = s.doc_id AND l.sent_id = s.sent_id)
+      SELECT sm.doc_id, sm.sent_id, sm.pos_start, sm.pos_end, sm.qid, CAST(d.d AS INT) AS dim,
+             CAST(list_sum(list_transform(sm.span_toks, t ->
+               unicode(substring(md5(t), CAST(d.d + 1 AS INT), 1)) - 80)) AS BIGINT) AS comp_sum,
+             CAST(sm.pos_end - sm.pos_start + 1 AS INT) AS span_len
+      FROM sm, (SELECT unnest(range(${pipeline.VectorFeatures.Dims})) AS d) d
+      ORDER BY 1, 3, 4, 5, 6""",
     "q_entity2id" -> s"""
       WITH $kbCtes,
       trip AS (

@@ -283,9 +283,14 @@ object RelationScorer {
     * via logsumexp, `ATLOP+KIRE/model.py:74-98`). Pooling happens in the
     * same (doc, qid) aggregation as the sentence lists — map-side
     * combinable, merge-safe (VectorLogSumExpSpec). */
-  def pooledPairFeatures(linked: DataFrame): DataFrame = {
+  def pooledPairFeatures(linked: DataFrame): DataFrame =
+    pooledPairFeaturesFromMvec(linked.withColumn("mvec", mentionVec))
+
+  /** Same pooling over a frame that ALREADY carries an `mvec` vector column
+    * — the hook for real mention encoders (`VectorFeatures
+    * .pooledPairFeaturesReal` feeds A10's pooled token vectors here). */
+  private[pipeline] def pooledPairFeaturesFromMvec(linked: DataFrame): DataFrame = {
     val docEnts = linked
-      .withColumn("mvec", mentionVec)
       .groupBy(col("doc_id"), col("qid"), col("ner_type"))
       .agg(collect_list(col("sent_id")).as("sents"), lsePool(col("mvec")).as("pool"))
       .groupBy(col("doc_id"))
@@ -313,9 +318,10 @@ object RelationScorer {
   /** Kernel over pooled features: adds w.wPool · ⟨h_pool, t_pool⟩ to every
     * logit. With the fixture weights (wPool = 0) the decode is identical to
     * `score` — pinned in VectorLogSumExpSpec. */
-  def scorePooled(features: DataFrame, spark: SparkSession): DataFrame = {
+  def scorePooled(features: DataFrame, spark: SparkSession,
+                  weights: Weights = fixtureWeights): DataFrame = {
     import spark.implicits._
-    val bw = spark.sparkContext.broadcast(compile(fixtureWeights))
+    val bw = spark.sparkContext.broadcast(compile(weights))
     features.as[PooledPairFeature].mapPartitions { it =>
       val w = bw.value
       it.flatMap { p =>
