@@ -360,6 +360,12 @@ object SparkEntry {
     "q_jaccard" -> ((s, dir) =>
       ops.Dedup.jaccardPairs(ops.Corpora.withNearDups(ops.Corpora.normDocs(s, dir)), 600)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "q_dedup_clusters" -> ((s, dir) =>
+      // the composed production dedup: LSH candidates → candidate-driven
+      // exact Jaccard verify → connected components → keep-canonical
+      ops.Dedup.nearDupClusters(
+        ops.Corpora.withNearDups(ops.Corpora.normDocs(s, dir)), 600, s)
+        .orderBy(col("doc_id"))),
     "q_simhash" -> ((s, dir) =>
       ops.Dedup.simhash(ops.Corpora.normDocs(s, dir), s).orderBy(col("doc_id"))),
 
@@ -1067,6 +1073,33 @@ object SparkEntry {
       JOIN sizes sb ON c.doc_b = sb.doc_id
       WHERE c.n_common * 1000 // (sa.n_sh + sb.n_sh - c.n_common) >= 600
       ORDER BY 1, 2""",
+    "q_dedup_clusters" -> s"""
+      WITH RECURSIVE $normDocsCte, $nearCorpusCte, $minhashCtes,
+      bands AS (
+        SELECT doc_id, CAST(seed // ${graft.ops.Dedup.BandRows} AS INT) AS band,
+               md5(MIN(minhash) || '|' || MAX(minhash)) AS band_sig
+        FROM mh GROUP BY doc_id, seed // ${graft.ops.Dedup.BandRows}),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+      shs AS (SELECT doc_id, list(sh) AS shl FROM sh GROUP BY 1),
+      verified AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c JOIN shs a ON c.doc_a = a.doc_id JOIN shs b ON c.doc_b = b.doc_id
+        WHERE len(list_intersect(a.shl, b.shl)) * 1000
+                // (len(a.shl) + len(b.shl) - len(list_intersect(a.shl, b.shl))) >= 600),
+      bidir AS (SELECT doc_a AS a, doc_b AS b FROM verified
+                UNION SELECT doc_b, doc_a FROM verified),
+      reach(src, dst) AS (
+        SELECT DISTINCT a, a FROM bidir
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN bidir e ON r.dst = e.a),
+      comp AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY 1)
+      SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
+             COALESCE(c.cluster, d.doc_id) = d.doc_id AS keep
+      FROM near_corpus d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      ORDER BY 1""",
     "q_simhash" -> s"""
       WITH $normDocsCte,
       toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM norm_docs),

@@ -134,4 +134,51 @@ object Dedup {
     * on rotated-band keys — Scala-side helper + bit_count expression). */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     bit_count(a.bitwiseXOR(b))
+
+  /** End-to-end near-duplicate CLUSTERING — the production web-corpus dedup
+    * pipeline (candidates → verify → cluster → keep-canonical), composed
+    * from the operators above:
+    *
+    *   1. candidates from the LSH band-bucket join (bounded, uniform keys);
+    *   2. CANDIDATE-DRIVEN exact verification: each candidate pair joins its
+    *      two per-doc shingle arrays (one row per doc — the in-row unit) and
+    *      computes exact n-gram Jaccard via array_intersect. Work scales
+    *      with |candidates|, never with shingle df² (unlike the exploratory
+    *      `jaccardPairs`, which discovers pairs by shingle join);
+    *   3. connected components over the verified pair graph — transitive
+    *      closure, so A≈B≈C dedups as ONE cluster even when the A–C edge
+    *      misses the threshold. Distributed min-label propagation; only
+    *      docs appearing in ≥1 verified pair enter the iteration
+    *      (singletons bypass it entirely via the final left join);
+    *   4. canonical representative = min doc_id per cluster; `keep` =
+    *      "first writer wins", same contract as `exact`.
+    *
+    * Returns one row per input doc: (doc_id, cluster, keep). */
+  def nearDupClusters(docs: DataFrame, minPermille: Int,
+                      spark: SparkSession): DataFrame = {
+    val cands = lshCandidates(lshBands(minhash(docs, spark)))
+    val shSets = shingles(docs).groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("shs"))
+    val verified = cands
+      .join(shSets.select(col("doc_id").as("doc_a"), col("shs").as("sha")), "doc_a")
+      .join(shSets.select(col("doc_id").as("doc_b"), col("shs").as("shb")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard_permille",
+        (col("n_common") * 1000 /
+          (size(col("sha")) + size(col("shb")) - col("n_common"))).cast("long"))
+      .filter(col("jaccard_permille") >= minPermille)
+      .select("doc_a", "doc_b").cache()
+    val verts = verified.select(col("doc_a").as("v"))
+      .union(verified.select(col("doc_b").as("v"))).distinct()
+      .select(lit("g").as("scope"), col("v"))
+    val edges = verified.select(lit("g").as("scope"),
+      col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = ConnectedComponents.labelPropagation(verts, edges)
+      .select(col("v").as("doc_id"), col("comp").as("cluster"))
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        (coalesce(col("cluster"), col("doc_id")) === col("doc_id")).as("keep"))
+  }
 }

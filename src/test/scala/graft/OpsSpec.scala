@@ -170,6 +170,26 @@ class OpsSpec extends AnyFunSuite {
     assert(perDoc.count() == 40 && perDoc.filter(col("count") =!= 1).count() == 0)
   }
 
+  test("near-dup clustering: transitive closure over verified candidates, canonical keep") {
+    import spark.implicits._
+    // chain: doc 2 is a suffix of doc 1 (Jaccard ≈ 689‰), doc 3 a suffix of
+    // doc 2 (≈ 675‰), but 1–3 is only ≈ 465‰ — BELOW the 600‰ gate. The
+    // pairwise verifier alone would split {1,2} from {2,3}; the transitive
+    // closure must merge all three into one cluster. Doc 4 is unrelated.
+    def toks(r: Range, p: String = "tok") = r.map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, toks(1 to 60)),
+      (2L, toks(19 to 60)),
+      (3L, toks(32 to 60)),
+      (4L, toks(1 to 60, "zzz")))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupClusters(docs, 600, spark).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false), 4L -> (4L, true)),
+      s"expected one transitive cluster {1,2,3} + singleton 4, got $out")
+  }
+
   test("winnowing: shared substrings of length >= w+k-1 share a fingerprint") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank"
     val b = "completely different prefix text " + a.substring(10) // long shared suffix
