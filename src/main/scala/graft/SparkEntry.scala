@@ -210,10 +210,10 @@ object SparkEntry {
       // the knowledge-injection path (KIRE's core): KG edges/neighborhood,
       // entity attributes, and coref statistics fused into the 96-relation
       // decode — KB evidence flips decodes the rule table alone cannot make.
-      // cache: the enrichment features walk the linked table four ways
-      val linked = Stages.linkedFast(
-        Stages.mentionsKernel(Pages.fromDocuments(s, dir), s), s).cache()
-      pipeline.KnowledgeInjection.extractInjected(linked, s)
+      // ZERO-SHUFFLE fused kernel (broadcast KB maps); the staged
+      // enrichment-join path is pinned row-identical in InjectionSpec and
+      // remains the plan-inspectable twin
+      pipeline.KnowledgeInjection.extractInjectedFused(Pages.fromDocuments(s, dir), s)
         .select("doc_id", "subj", "pred", "obj", "score_milli")
         .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
     }),
@@ -241,7 +241,9 @@ object SparkEntry {
       // rule triples from the CACHED linked table (pinned row-identical to
       // the kernel extraction) — no second pass over the page text
       val preds = Stages.triples(Stages.pairs(linked), s)
-      val gold = pipeline.KnowledgeInjection.extractInjected(linked, s)
+      // gold from the fused injected kernel (one extra pages pass beats the
+      // staged enrichment joins; row-identity pinned in InjectionSpec)
+      val gold = pipeline.KnowledgeInjection.extractInjectedFused(pages, s)
         .select("doc_id", "subj", "pred", "obj").distinct()
       val pairDist = pipeline.RelationScorer.pairFeatures(linked)
       eval.Evaluator.recallByDistanceBucket(preds, gold, pairDist)
@@ -257,7 +259,9 @@ object SparkEntry {
       // path). The slice filter pushes to the page scan.
       val pages = Pages.fromDocuments(s, dir).filter(col("doc_id") % 10 === 0)
       val linked = Stages.linkedFast(Stages.mentionsKernel(pages, s), s).cache()
-      val scoredT = pipeline.KnowledgeInjection.extractInjected(linked, s)
+      // fused injected kernel over the same dev slice (row-identity to the
+      // staged path pinned in InjectionSpec)
+      val scoredT = pipeline.KnowledgeInjection.extractInjectedFused(pages, s)
         .select(col("doc_id"), col("subj"), col("pred"), col("obj"),
           col("score_milli").cast("double").as("score"))
         .distinct()
@@ -312,8 +316,10 @@ object SparkEntry {
     }),
     "q_sentence_vecs" -> ((s, dir) =>
       // A11 sentence-node pooling: per-sentence token-vector sums over the
-      // md5-derived deterministic embedding — integer-exact, fully in-row
-      pipeline.VectorFeatures.sentenceVectors(Pages.fromDocuments(s, dir))
+      // md5-derived deterministic embedding — integer-exact. Kernel path
+      // (one digest per token); the declarative HOF twin is spec-pinned
+      // row-identical in VectorFeaturesSpec
+      pipeline.VectorFeatures.sentenceVectorsKernel(Pages.fromDocuments(s, dir), s)
         .orderBy(col("doc_id"), col("sent_id"), col("dim"))),
     "q_mention_vecs" -> ((s, dir) => {
       // A10 token→mention pooling (sums): linked mention spans × the same

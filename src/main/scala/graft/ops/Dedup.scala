@@ -48,9 +48,14 @@ object Dedup {
 
   /** MinHash signatures, long format (doc_id, seed, minhash).
     * h_seed(doc) = min over shingles of md5(seed || '|' || shingle). */
-  def minhash(docs: DataFrame, spark: SparkSession): DataFrame = {
+  def minhash(docs: DataFrame, spark: SparkSession): DataFrame =
+    minhashFromShingles(shingles(docs), spark)
+
+  /** Same, over an already-materialized shingle frame (callers that reuse
+    * the shingles elsewhere cache it and pass it here). */
+  def minhashFromShingles(sh: DataFrame, spark: SparkSession): DataFrame = {
     val seeds = broadcast(spark.range(NumHashes).select(col("id").cast("int").as("seed")))
-    shingles(docs)
+    sh
       .crossJoin(seeds)
       .groupBy(col("doc_id"), col("seed"))
       .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle"))
@@ -156,8 +161,11 @@ object Dedup {
     * Returns one row per input doc: (doc_id, cluster, keep). */
   def nearDupClusters(docs: DataFrame, minPermille: Int,
                       spark: SparkSession): DataFrame = {
-    val cands = lshCandidates(lshBands(minhash(docs, spark)))
-    val shSets = shingles(docs).groupBy("doc_id")
+    // the shingle frame feeds BOTH the minhash path and the verification
+    // arrays — cache it so the explode+distinct runs once
+    val sh = shingles(docs).cache()
+    val cands = lshCandidates(lshBands(minhashFromShingles(sh, spark)))
+    val shSets = sh.groupBy("doc_id")
       .agg(collect_list(col("shingle")).as("shs"))
     val verified = cands
       .join(shSets.select(col("doc_id").as("doc_a"), col("shs").as("sha")), "doc_a")

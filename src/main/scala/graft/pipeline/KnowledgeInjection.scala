@@ -179,47 +179,62 @@ object KnowledgeInjection {
       .filter(col("n_cooc") >= 1 || size(col("sugg_rels")) > 0)
   }
 
-  /** The mapPartitions inference kernel over injected features: 96 integer
-    * milli-logits per pair, adaptive-threshold decode. Broadcast: the rule
-    * set (the type-pair weight table's support). */
-  def scoreInjected(features: DataFrame, spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    // compiled weights: one base array per (hType, tType), aligned with the
-    // relation vocabulary — the 96-class loop is a flat integer array walk,
-    // not 96 tuple-keyed map probes per pair
+  /** Compiled integer weight tables, shared by the staged kernel and the
+    * fused kernel: one base array per (hType, tType) aligned with the
+    * relation vocabulary — the 96-class loop is a flat integer array walk,
+    * not 96 tuple-keyed map probes per pair. */
+  private[pipeline] case class CompiledInj(rels: Array[String],
+      relIdx: Map[String, Int], base: Map[(String, String), Array[Long]],
+      default: Array[Long])
+
+  private[pipeline] def compileInj(): CompiledInj = {
     val relsArr = RelationScorer.relations.toArray
-    val relIndex = relsArr.zipWithIndex.toMap
     val ruleSet = Gazetteer.relRules.toSet
     val types = graft.kb.DocREDVocab.nerTypes
     val baseMap: Map[(String, String), Array[Long]] =
       (for { h <- types; t <- types } yield (h, t) ->
         relsArr.map(r => if (ruleSet.contains((h, t, r))) WBase.toLong else -WBase.toLong)).toMap
-    val defaultBase = relsArr.map(_ => -WBase.toLong)
-    val bw = spark.sparkContext.broadcast((relsArr, relIndex, baseMap, defaultBase))
+    CompiledInj(relsArr, relsArr.zipWithIndex.toMap, baseMap,
+      relsArr.map(_ => -WBase.toLong))
+  }
+
+  /** The 96-class injected decode for one pair (soft features + direct-edge
+    * bonus + adaptive threshold + top-4 cap) — one code path for both
+    * kernels. */
+  private[pipeline] def decodeInjectedPair(cw: CompiledInj, p: InjectedFeature)
+      : Seq[InjScoredTriple] = {
+    val soft = (WDist * RelationScorer.disBucket(p.min_sent_dist) +
+      WCoocUnit * math.min(p.n_cooc, CoocCap.toLong).toInt +
+      WNbrUnit * math.min(p.shared_nbrs, NbrCap) +
+      WCorefUnit * (math.min(p.h_coref, CorefCap) + math.min(p.t_coref, CorefCap)) +
+      WAttr * p.same_inst).toLong
+    // the type-rule base is textual evidence — it fires only when the
+    // pair actually co-occurs in a sentence
+    val b = if (p.n_cooc >= 1) cw.base.getOrElse((p.h_type, p.t_type), cw.default)
+            else cw.default
+    val suggIdx = p.sugg_rels.iterator.flatMap(cw.relIdx.get).toSet
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var i = 0
+    while (i < cw.rels.length) {
+      val s = b(i) + soft + (if (suggIdx.contains(i)) WDirect.toLong else 0L)
+      if (s > 0L) buf += ((cw.rels(i), s))
+      i += 1
+    }
+    buf.sortBy { case (r, l) => (-l, r) }
+      .take(RelationScorer.MaxLabels)
+      .map { case (r, l) => InjScoredTriple(p.doc_id, p.h_qid, r, p.t_qid, l, p.evidence) }
+      .toSeq
+  }
+
+  /** The mapPartitions inference kernel over injected features: 96 integer
+    * milli-logits per pair, adaptive-threshold decode. Broadcast: the
+    * compiled type-pair weight tables. */
+  def scoreInjected(features: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val bw = spark.sparkContext.broadcast(compileInj())
     features.as[InjectedFeature].mapPartitions { it =>
-      val (rels, relIdx, base, default) = bw.value
-      it.flatMap { p =>
-        val soft = (WDist * RelationScorer.disBucket(p.min_sent_dist) +
-          WCoocUnit * math.min(p.n_cooc, CoocCap.toLong).toInt +
-          WNbrUnit * math.min(p.shared_nbrs, NbrCap) +
-          WCorefUnit * (math.min(p.h_coref, CorefCap) + math.min(p.t_coref, CorefCap)) +
-          WAttr * p.same_inst).toLong
-        // the type-rule base is textual evidence — it fires only when the
-        // pair actually co-occurs in a sentence
-        val b = if (p.n_cooc >= 1) base.getOrElse((p.h_type, p.t_type), default)
-                else default
-        val suggIdx = p.sugg_rels.iterator.flatMap(relIdx.get).toSet
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-        var i = 0
-        while (i < rels.length) {
-          val s = b(i) + soft + (if (suggIdx.contains(i)) WDirect.toLong else 0L)
-          if (s > 0L) buf += ((rels(i), s))
-          i += 1
-        }
-        buf.sortBy { case (r, l) => (-l, r) }
-          .take(RelationScorer.MaxLabels)
-          .map { case (r, l) => InjScoredTriple(p.doc_id, p.h_qid, r, p.t_qid, l, p.evidence) }
-      }
+      val cw = bw.value
+      it.flatMap(decodeInjectedPair(cw, _))
     }.toDF()
   }
 
@@ -255,4 +270,113 @@ object KnowledgeInjection {
   /** Full injected path: linked mentions → enriched features → kernel. */
   def extractInjected(linked: DataFrame, spark: SparkSession): DataFrame =
     scoreInjected(injectedFeatures(linked, spark), spark)
+
+  /** ZERO-SHUFFLE fused injected extraction: pages → mentions → link →
+    * entity knowledge → pair features → 96-class injected decode, one
+    * mapPartitions pass per document — the injected twin of
+    * `RelationScorer.extractKernelFused`. Row-identical to the staged path
+    * (`extractInjected` over linkedFast mentions, InjectionSpec) and shares
+    * q_injected_triples' oracle; the job's only exchange is the sink's.
+    *
+    * The KB rides as THREE broadcast maps built from the SAME constants the
+    * staged path joins relationally: undirected adjacency (one-hop neighbor
+    * sets), the directed suggested-relation map (KB edges ∘ kbRel2rel), and
+    * the instance-of attribute map. Per doc, `Enrich.oneHop`'s visibility
+    * rule (an edge is in the subgraph iff either endpoint is a non-TIME doc
+    * entity) reduces in-kernel to: a non-TIME entity keeps its FULL KB
+    * neighborhood, a TIME entity only neighbors that are non-TIME doc
+    * entities, and a pair sees its direct edges unless BOTH endpoints are
+    * TIME. At 10^12 docs the same shape holds with the KB maps swapped from
+    * plan literals to torrent-broadcast variables (the staged sort-merge
+    * path `Enrich.attachAttributesLarge` covers the KB-too-big case).
+    *
+    * PRECONDITION (all fused kernels): unique doc_id per input row. */
+  def extractInjectedFused(pages: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val byFirstB = spark.sparkContext.broadcast(Stages.kernelDict)
+    val adj: Map[String, Set[String]] = {
+      val m = scala.collection.mutable.Map.empty[String, Set[String]]
+      Gazetteer.kgTriples.foreach { case (h, _, t) =>
+        m(h) = m.getOrElse(h, Set.empty[String]) + t
+        m(t) = m.getOrElse(t, Set.empty[String]) + h
+      }
+      m.toMap
+    }
+    val r2r = Gazetteer.kbRel2rel.toMap
+    val sugg: Map[(String, String), Seq[String]] =
+      Gazetteer.kgTriples
+        .flatMap { case (h, r, t) => r2r.get(r).map(x => (h, t) -> x) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.sorted }
+    // instance-of resolution == Enrich.resolvedAttrs: MAX text per qid,
+    // default 'entity'
+    val instMap: Map[String, String] =
+      Gazetteer.kgAttrs.filter(_._2 == "instance of")
+        .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._3).max }
+    val kbB = spark.sparkContext.broadcast((adj, sugg, instMap, compileInj()))
+    pages.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val byFirst = byFirstB.value
+        val (adjM, suggM, instM, cw) = kbB.value
+        it.flatMap { case (docId, text) =>
+          val ments = Stages.docMentions(text.split(" ", -1), byFirst)
+          // entity table (insertion-ordered) + per-alias mention counts
+          val ents = scala.collection.mutable.LinkedHashMap
+            .empty[String, (String, scala.collection.mutable.ArrayBuffer[Int])]
+          val aliasCnt = scala.collection.mutable.HashMap.empty[String, Int]
+          val entAliases = scala.collection.mutable.HashMap.empty[String, Set[String]]
+          ments.foreach { m =>
+            val e = m._4 // (restToks, alias, qid, nerType)
+            ents.getOrElseUpdate(e._3,
+              (e._4, scala.collection.mutable.ArrayBuffer.empty[Int]))._2 += m._1
+            aliasCnt(e._2) = aliasCnt.getOrElse(e._2, 0) + 1
+            entAliases(e._3) = entAliases.getOrElse(e._3, Set.empty[String]) + e._2
+          }
+          val arr = ents.toArray
+          val docents = arr.iterator
+            .collect { case (q, (tpe, _)) if tpe != "TIME" => q }.toSet
+          val sentSets = arr.map(_._2._2.toSet)
+          // per-entity knowledge, hoisted out of the k² pair loop
+          val nbrs = arr.map { case (q, (tpe, _)) =>
+            val full = adjM.getOrElse(q, Set.empty[String])
+            if (tpe != "TIME") full else full.intersect(docents)
+          }
+          // coref partner count (W1 distillation): max over the entity's
+          // aliases of min(k_alias − 1, CorefCap), floored at 0
+          val coref = arr.map { case (q, _) =>
+            entAliases(q).iterator
+              .map(a => math.min(aliasCnt(a) - 1, CorefCap)).max.max(0)
+          }
+          val instA = arr.map { case (q, _) => instM.getOrElse(q, "entity") }
+          val out = scala.collection.mutable.ArrayBuffer.empty[InjScoredTriple]
+          var i = 0
+          while (i < arr.length) {
+            val (hQid, (hType, hS)) = arr(i)
+            var j = 0
+            while (j < arr.length) {
+              if (i != j) {
+                val (tQid, (tType, tS)) = arr(j)
+                val (msd, cooc) = RelationScorer.pairDistCooc(hS, tS)
+                // direct edges are invisible only when BOTH endpoints are
+                // TIME (neither endpoint in the one-hop docents set)
+                val suggRels =
+                  if (hType == "TIME" && tType == "TIME") Nil
+                  else suggM.getOrElse((hQid, tQid), Nil)
+                if (cooc >= 1 || suggRels.nonEmpty) {
+                  val ev = RelationScorer.evidenceOf(sentSets(i), sentSets(j))
+                  val shared = nbrs(i).intersect(nbrs(j))
+                    .count(z => z != hQid && z != tQid)
+                  out ++= decodeInjectedPair(cw, InjectedFeature(
+                    docId, hQid, hType, tQid, tType, msd, cooc, ev, suggRels,
+                    shared, coref(i), coref(j),
+                    if (instA(i) == instA(j)) 1 else 0))
+                }
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }.toDF()
+  }
 }

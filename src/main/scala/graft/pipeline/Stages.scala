@@ -264,9 +264,12 @@ object Stages {
     * MAXIMAL dictionary matches. Emits (sent_id, ps, pe, entry). Same
     * semantics as sentences() + sentenceMentions() (pinned in FusedSpec /
     * SentenceSpec via the exploding callers). */
-  private[pipeline] def docMentions(toks: Array[String],
-      byFirst: Map[String, Array[DictEntry]])
-      : scala.collection.mutable.ArrayBuffer[(Int, Int, Int, DictEntry)] = {
+  /** Sentence spans (terminal punctuation + abbreviation guard + chunk cap)
+    * for one token array — the plain-Scala twin of `sentences()`, shared by
+    * `docMentions` and the vector kernels (`VectorFeatures
+    * .sentenceVectorsKernel`). */
+  private[pipeline] def docSentenceSpans(toks: Array[String])
+      : scala.collection.mutable.ArrayBuffer[(Int, Int)] = {
     val chunk = Gazetteer.SentenceChunk
     val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var segStart = 0
@@ -291,6 +294,13 @@ object Stages {
         spans += ((s, math.min(s + chunk - 1, toks.length - 1))); s += chunk
       }
     }
+    spans
+  }
+
+  private[pipeline] def docMentions(toks: Array[String],
+      byFirst: Map[String, Array[DictEntry]])
+      : scala.collection.mutable.ArrayBuffer[(Int, Int, Int, DictEntry)] = {
+    val spans = docSentenceSpans(toks)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, DictEntry)]
     val cands = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, DictEntry)]
     var sentId = 0

@@ -61,6 +61,45 @@ object VectorFeatures {
     Array.tabulate(Dims)(d => (m.charAt(d) - 80).toLong)
   }
 
+  /** Allocation-light hot-loop variant: adds token components into `out`
+    * reusing one MessageDigest, reading nibbles straight off the digest
+    * bytes (hex char code − 80 ≡ nibble − 32 for 0-9, nibble + 7 for a-f). */
+  private def addTokenComps(md: java.security.MessageDigest, tok: String,
+                            out: Array[Long]): Unit = {
+    md.reset()
+    val dig = md.digest(tok.getBytes("UTF-8"))
+    var d = 0
+    while (d < Dims) {
+      val b = dig(d >> 1) & 0xFF
+      val nib = if ((d & 1) == 0) b >>> 4 else b & 0xF
+      out(d) += (if (nib < 10) nib - 32 else nib + 7)
+      d += 1
+    }
+  }
+
+  /** mapPartitions twin of `sentenceVectors` — row-identical (spec-pinned),
+    * ~5× cheaper: the interpreted HOF path evaluates md5 + 8 substring/
+    * ascii expressions per token; here it's one digest and four byte reads.
+    * Shares the kernel sentence splitter with the mention kernels. */
+  def sentenceVectorsKernel(pages: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    pages.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (docId, text) =>
+          val toks = text.split(" ", -1)
+          Stages.docSentenceSpans(toks).iterator.zipWithIndex.flatMap {
+            case ((st, en), sid) =>
+              val sums = new Array[Long](Dims)
+              var p = st
+              while (p <= en) { addTokenComps(md, toks(p), sums); p += 1 }
+              (0 until Dims).iterator.map(d =>
+                (docId, sid, d, sums(d), en - st + 1))
+          }
+        }
+      }.toDF("doc_id", "sent_id", "dim", "comp_sum", "n_toks")
+  }
+
   /** A11: per-sentence token-vector sums — (doc_id, sent_id, dim, comp_sum,
     * n_toks). Integer-exact (oracle q_sentence_vecs); the sentence MEAN is
     * comp_sum / n_toks. In-row over `Stages.sentences` (itself in-row), so

@@ -15,8 +15,9 @@ class InjectionSpec extends AnyFunSuite {
   import spark.implicits._
   val sfDir = "/root/testdata/sf0.001"
 
+  lazy val pages = Pages.fromDocuments(spark, sfDir).cache()
   lazy val linked = Stages.linkedFast(
-    Stages.mentionsKernel(Pages.fromDocuments(spark, sfDir), spark), spark).cache()
+    Stages.mentionsKernel(pages, spark), spark).cache()
   lazy val feats = KI.injectedFeatures(linked, spark).cache()
 
   test("vocabulary closure: kbRel2rel covers the KB predicates and lands in the 96") {
@@ -100,6 +101,16 @@ class InjectionSpec extends AnyFunSuite {
     // (Q4,P463,Q8): −2000 (no co-occurrence → no rule base) − 100 dist + 4500 = 2400;
     // (Q8,*,Q4): no KB edge in that direction, not admitted — nothing decodes
     assert(got == Set(("Q4", "P463", "Q8", 2400L)))
+  }
+
+  test("fused injected kernel == staged enrichment-join path, row for row") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("subj"), col("pred"), col("obj"),
+        col("score_milli"), col("evidence").cast("string"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val fused = canon(KI.extractInjectedFused(pages, spark))
+    val staged = canon(KI.extractInjected(linked, spark))
+    assert(fused.nonEmpty && fused == staged)
   }
 
   test("decode cap: >=4 higher-scoring KB-suggested relations evict the rule triple") {

@@ -44,6 +44,13 @@ class VectorFeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("A11 kernel == declarative HOF twin, row for row") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    assert(canon(VF.sentenceVectorsKernel(pages, spark)) ==
+      canon(VF.sentenceVectors(pages)))
+  }
+
   test("M6 norm_mask rows sum to 1; A10 masked mean == span sums / span_len") {
     // mask algebra on a controlled frame
     val m = Seq((10, 2, 5)).toDF("len", "st", "en")
