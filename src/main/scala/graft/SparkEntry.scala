@@ -258,7 +258,9 @@ object SparkEntry {
       // pinned ≤ 1 permille from it in EvalExtrasSpec, is the corpus-scale
       // path). The slice filter pushes to the page scan.
       val pages = Pages.fromDocuments(s, dir).filter(col("doc_id") % 10 === 0)
-      val linked = Stages.linkedFast(Stages.mentionsKernel(pages, s), s).cache()
+      // no cache: since scoredT moved to the fused kernel, linked feeds
+      // only the gold derivation below — single consumer
+      val linked = Stages.linkedFast(Stages.mentionsKernel(pages, s), s)
       // fused injected kernel over the same dev slice (row-identity to the
       // staged path pinned in InjectionSpec)
       val scoredT = pipeline.KnowledgeInjection.extractInjectedFused(pages, s)

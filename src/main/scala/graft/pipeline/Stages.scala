@@ -259,11 +259,6 @@ object Stages {
       .groupBy(_._1)
       .map { case (k, v) => k -> v.map(_._2).sortBy(-_._1.length).toArray }
 
-  /** Per-doc plain-Scala matcher shared by the mapPartitions kernels:
-    * sentence spans (terminal punctuation + chunk cap) → per-sentence
-    * MAXIMAL dictionary matches. Emits (sent_id, ps, pe, entry). Same
-    * semantics as sentences() + sentenceMentions() (pinned in FusedSpec /
-    * SentenceSpec via the exploding callers). */
   /** Sentence spans (terminal punctuation + abbreviation guard + chunk cap)
     * for one token array — the plain-Scala twin of `sentences()`, shared by
     * `docMentions` and the vector kernels (`VectorFeatures
@@ -297,6 +292,11 @@ object Stages {
     spans
   }
 
+  /** Per-doc plain-Scala matcher shared by the mapPartitions kernels:
+    * sentence spans (via `docSentenceSpans`) → per-sentence MAXIMAL
+    * dictionary matches. Emits (sent_id, ps, pe, entry). Same semantics as
+    * sentences() + sentenceMentions() (pinned in FusedSpec / SentenceSpec
+    * via the exploding callers). */
   private[pipeline] def docMentions(toks: Array[String],
       byFirst: Map[String, Array[DictEntry]])
       : scala.collection.mutable.ArrayBuffer[(Int, Int, Int, DictEntry)] = {

@@ -113,6 +113,13 @@ object VectorFeatures {
       .select(col("doc_id"), col("sent_id"), col("dim").cast("int").as("dim"),
         col("comp_sum"), col("n_toks"))
 
+  /** Linked mentions joined with their doc's token array plus the span
+    * slice — the shared prefix of every mention-vector variant (ONE place
+    * owns the tokenization and the +1/inclusive span convention). */
+  private def withSpanToks(linked: DataFrame, pages: DataFrame): DataFrame =
+    linked.join(pages.select(col("doc_id"), split(col("text"), " ").as("toks")), Seq("doc_id"))
+      .withColumn("span_toks", expr("slice(toks, pos_start + 1, pos_end - pos_start + 1)"))
+
   /** A10 (sums): per linked mention, the span's token-vector sums —
     * (doc_id, sent_id, pos_start, pos_end, qid, dim, comp_sum, span_len).
     * The mention MEAN (A10 proper) is comp_sum / span_len — equal to the
@@ -120,8 +127,7 @@ object VectorFeatures {
     * once on doc_id (co-partitioned equi-join; pages are the unit of
     * parallelism at any scale). */
   def mentionVectors(linked: DataFrame, pages: DataFrame): DataFrame =
-    linked.join(pages.select(col("doc_id"), split(col("text"), " ").as("toks")), Seq("doc_id"))
-      .withColumn("span_toks", expr("slice(toks, pos_start + 1, pos_end - pos_start + 1)"))
+    withSpanToks(linked, pages)
       .withColumn("comp_sums", expr(spanSumSql("span_toks")))
       .select(col("doc_id"), col("sent_id"), col("pos_start"), col("pos_end"), col("qid"),
         posexplode(col("comp_sums")).as(Seq("dim", "comp_sum")),
@@ -142,7 +148,7 @@ object VectorFeatures {
     * formulation) — spec-pinned equal to comp_sums / span_len. Showcase
     * shape (O(L·Dims) per mention); production uses the span slice above. */
   def mentionMeanVecsMasked(linked: DataFrame, pages: DataFrame): DataFrame =
-    linked.join(pages.select(col("doc_id"), split(col("text"), " ").as("toks")), Seq("doc_id"))
+    withSpanToks(linked, pages)
       .withColumn("mask", normMask(size(col("toks")), col("pos_start"), col("pos_end")))
       .withColumn("mean_vec", expr(
         s"transform(sequence(0, ${Dims - 1}), d -> " +
@@ -153,8 +159,7 @@ object VectorFeatures {
   /** Mention mean vectors (production span-slice shape): one row per linked
     * mention with its Dims-dim mean vector. */
   def mentionMeanVecs(linked: DataFrame, pages: DataFrame): DataFrame =
-    linked.join(pages.select(col("doc_id"), split(col("text"), " ").as("toks")), Seq("doc_id"))
-      .withColumn("span_toks", expr("slice(toks, pos_start + 1, pos_end - pos_start + 1)"))
+    withSpanToks(linked, pages)
       .withColumn("comp_sums", expr(spanSumSql("span_toks")))
       .withColumn("mean_vec", expr(
         "transform(comp_sums, s -> CAST(s AS DOUBLE) / (pos_end - pos_start + 1))"))
@@ -193,10 +198,8 @@ object VectorFeatures {
                              spark: SparkSession, batchSize: Int = 64,
                              lengthSorted: Boolean = false): DataFrame = {
     import spark.implicits._
-    val spans = linked
-      .join(pages.select(col("doc_id"), split(col("text"), " ").as("toks")), Seq("doc_id"))
-      .select(col("doc_id"), col("qid"), col("pos_start"), col("pos_end"),
-        expr("slice(toks, pos_start + 1, pos_end - pos_start + 1)").as("span_toks"))
+    val spans = withSpanToks(linked, pages)
+      .select(col("doc_id"), col("qid"), col("pos_start"), col("pos_end"), col("span_toks"))
       .as[MentionSpan]
     val ordered =
       if (lengthSorted) spans.sortWithinPartitions(size(col("span_toks")).desc)

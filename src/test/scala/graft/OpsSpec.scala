@@ -190,6 +190,25 @@ class OpsSpec extends AnyFunSuite {
       s"expected one transitive cluster {1,2,3} + singleton 4, got $out")
   }
 
+  test("near-dup clustering: a 50-doc drift chain beyond the old iteration bound is ONE cluster") {
+    import spark.implicits._
+    // sliding-window docs: doc k covers tokens [5k, 5k+60) of one stream —
+    // consecutive Jaccard ≈ 841‰, distance-2 ≈ 705‰, distance-3 ≈ 589‰
+    // (below the 600‰ gate), so the verified graph is a chain with
+    // diameter ≈ 25. Plain O(diameter) min-label propagation at the old
+    // maxIter=20 would stop early and SILENTLY split this cluster; pointer
+    // jumping converges in ~6 rounds, and non-convergence now raises.
+    val stream = (0 until 310).map(i => s"w$i")
+    val docs = (0 until 50)
+      .map(k => (k.toLong + 1, stream.slice(5 * k, 5 * k + 60).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupClusters(docs, 600, spark).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == 50 && out.values.map(_._1).toSet == Set(1L),
+      s"drift chain must form ONE cluster labeled 1: $out")
+    assert(out.count(_._2._2) == 1, "exactly one canonical keep")
+  }
+
   test("winnowing: shared substrings of length >= w+k-1 share a fingerprint") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank"
     val b = "completely different prefix text " + a.substring(10) // long shared suffix
