@@ -77,18 +77,28 @@ object Scaling {
     path
   }
 
-  /** One timed end-to-end extraction over the production path:
-    * pages parquet scan → extract html→text (native expression) →
-    * mapPartitions mention/link/pair/classify kernel (north_star shape;
-    * pinned row-identical to the declarative fused path in FusedSpec) →
-    * global dedup. */
+  /** The job under measurement, selected by SPARK_GRAFT_JOB:
+    *  - "rule" (default): pages scan → html→text (native expression) →
+    *    mapPartitions mention/link/pair/classify kernel → count (the
+    *    north_star extraction shape; row-identical to the declarative
+    *    fused path, FusedSpec);
+    *  - "injected": the same front end feeding the ZERO-SHUFFLE fused
+    *    knowledge-injection kernel (broadcast-KB entity knowledge +
+    *    96-class decode) — the complete KIRE-shaped pipeline. */
+  def Job: String = sys.env.getOrElse("SPARK_GRAFT_JOB", "rule")
+
+  /** One timed end-to-end extraction over the selected production path. */
   def runOnce(spark: SparkSession, sfDir: String): (Long, Long, Double) = {
     val corpus = materializedCorpus(spark, sfDir)
     val nDocs = spark.read.parquet(corpus).count()
     val t0 = System.nanoTime()
     val pages = spark.read.parquet(corpus)
       .withColumn("text", graft.functions.ExtractHtmlText(col("html")))
-    val nTriples = Stages.extractTriplesKernel(pages, spark).count()
+    val nTriples = Job match {
+      case "injected" =>
+        graft.pipeline.KnowledgeInjection.extractInjectedFused(pages, spark).count()
+      case _ => Stages.extractTriplesKernel(pages, spark).count()
+    }
     val secs = (System.nanoTime() - t0) / 1e9
     (nDocs, nTriples, secs)
   }
@@ -117,7 +127,7 @@ object Scaling {
       val (docs, triples, secs) = best(cpus)
       val dps = docs / secs
       val tps = triples / secs
-      println(f"""{"cpus":$cpus,"docs":$docs,"triples":$triples,"secs":$secs%.2f,"docs_per_sec":$dps%.0f,"triples_per_sec":$tps%.0f}""")
+      println(f"""{"job":"$Job","cpus":$cpus,"docs":$docs,"triples":$triples,"secs":$secs%.2f,"docs_per_sec":$dps%.0f,"triples_per_sec":$tps%.0f}""")
       cpus -> dps
     }
     for (Seq((c1, d1), (c2, d2)) <- results.sliding(2)) {

@@ -153,8 +153,11 @@ object KnowledgeInjection {
             val t = arr(j)
             val (msd, cooc) = RelationScorer.pairDistCooc(h.sents, t.sents)
             val ev = RelationScorer.evidenceOf(sentSets(i), sentSets(j))
-            val shared = nbrSets2(i).intersect(nbrSets2(j))
-              .count(z => z != h.qid && z != t.qid)
+            val (sm, bg) = if (nbrSets2(i).size <= nbrSets2(j).size)
+              (nbrSets2(i), nbrSets2(j)) else (nbrSets2(j), nbrSets2(i))
+            var shared = 0
+            sm.foreach(z =>
+              if (z != h.qid && z != t.qid && bg.contains(z)) shared += 1)
             out += PairKnow(docId, h.qid, h.ner_type, t.qid, t.ner_type,
               msd, cooc, ev, h.coref, t.coref, h.instance_of, t.instance_of,
               shared)
@@ -185,7 +188,7 @@ object KnowledgeInjection {
     * not 96 tuple-keyed map probes per pair. */
   private[pipeline] case class CompiledInj(rels: Array[String],
       relIdx: Map[String, Int], base: Map[(String, String), Array[Long]],
-      default: Array[Long])
+      default: Array[Long], ruleIdx: Map[(String, String), Array[Int]])
 
   private[pipeline] def compileInj(): CompiledInj = {
     val relsArr = RelationScorer.relations.toArray
@@ -194,13 +197,26 @@ object KnowledgeInjection {
     val baseMap: Map[(String, String), Array[Long]] =
       (for { h <- types; t <- types } yield (h, t) ->
         relsArr.map(r => if (ruleSet.contains((h, t, r))) WBase.toLong else -WBase.toLong)).toMap
+    val ruleIdxMap = baseMap.map { case (k, b) =>
+      k -> b.indices.filter(b(_) > 0L).toArray
+    }
     CompiledInj(relsArr, relsArr.zipWithIndex.toMap, baseMap,
-      relsArr.map(_ => -WBase.toLong))
+      relsArr.map(_ => -WBase.toLong), ruleIdxMap)
   }
+
+  private val EmptyIdx = Array.empty[Int]
 
   /** The 96-class injected decode for one pair (soft features + direct-edge
     * bonus + adaptive threshold + top-4 cap) — one code path for both
-    * kernels. */
+    * kernels.
+    *
+    * CANDIDATE PRUNING (exact, not approximate): a relation can clear the
+    * adaptive threshold only through a +WBase rule base (requires n_cooc
+    * ≥ 1) or a +WDirect suggested-edge bonus — every other logit is at most
+    * −WBase + maxSoft, and maxSoft < WBase is a STATIC property of the
+    * capped weight design (pinned in InjectionSpec "weight design"). So the
+    * decode walks ruleIdx ∪ suggIdx (typically ≤ 3 entries) instead of all
+    * 96 classes, emitting exactly the same triples. */
   private[pipeline] def decodeInjectedPair(cw: CompiledInj, p: InjectedFeature)
       : Seq[InjScoredTriple] = {
     val soft = (WDist * RelationScorer.disBucket(p.min_sent_dist) +
@@ -210,15 +226,29 @@ object KnowledgeInjection {
       WAttr * p.same_inst).toLong
     // the type-rule base is textual evidence — it fires only when the
     // pair actually co-occurs in a sentence
-    val b = if (p.n_cooc >= 1) cw.base.getOrElse((p.h_type, p.t_type), cw.default)
+    val coocOk = p.n_cooc >= 1
+    val b = if (coocOk) cw.base.getOrElse((p.h_type, p.t_type), cw.default)
             else cw.default
-    val suggIdx = p.sugg_rels.iterator.flatMap(cw.relIdx.get).toSet
+    val ruleIs = if (coocOk) cw.ruleIdx.getOrElse((p.h_type, p.t_type), EmptyIdx)
+                 else EmptyIdx
+    val suggIs = if (p.sugg_rels.isEmpty) EmptyIdx
+                 else p.sugg_rels.iterator.flatMap(cw.relIdx.get).toArray
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    var i = 0
-    while (i < cw.rels.length) {
-      val s = b(i) + soft + (if (suggIdx.contains(i)) WDirect.toLong else 0L)
+    var k = 0
+    while (k < ruleIs.length) {
+      val i = ruleIs(k)
+      if (!suggIs.contains(i)) { // counted once; the sugg walk adds its bonus
+        val s = b(i) + soft
+        if (s > 0L) buf += ((cw.rels(i), s))
+      }
+      k += 1
+    }
+    k = 0
+    while (k < suggIs.length) {
+      val i = suggIs(k)
+      val s = b(i) + soft + WDirect.toLong
       if (s > 0L) buf += ((cw.rels(i), s))
-      i += 1
+      k += 1
     }
     buf.sortBy { case (r, l) => (-l, r) }
       .take(RelationScorer.MaxLabels)
@@ -363,8 +393,13 @@ object KnowledgeInjection {
                   else suggM.getOrElse((hQid, tQid), Nil)
                 if (cooc >= 1 || suggRels.nonEmpty) {
                   val ev = RelationScorer.evidenceOf(sentSets(i), sentSets(j))
-                  val shared = nbrs(i).intersect(nbrs(j))
-                    .count(z => z != hQid && z != tQid)
+                  // membership count over the smaller set — no intersection
+                  // Set allocated per pair
+                  val (sm, bg) = if (nbrs(i).size <= nbrs(j).size) (nbrs(i), nbrs(j))
+                                 else (nbrs(j), nbrs(i))
+                  var shared = 0
+                  sm.foreach(z =>
+                    if (z != hQid && z != tQid && bg.contains(z)) shared += 1)
                   out ++= decodeInjectedPair(cw, InjectedFeature(
                     docId, hQid, hType, tQid, tType, msd, cooc, ev, suggRels,
                     shared, coref(i), coref(j),

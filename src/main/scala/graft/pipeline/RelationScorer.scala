@@ -75,7 +75,8 @@ object RelationScorer {
     * raw Weights map (same getOrElse(-2.0) default). */
   private[pipeline] case class Compiled(rels: Array[String],
       base: Map[(String, String), Array[Double]], default: Array[Double],
-      wDist: Double, wCooc: Double, wPool: Double)
+      wDist: Double, wCooc: Double, wPool: Double,
+      posIdx: Map[(String, String), Array[Int]], negGuard: Double)
 
   private[pipeline] def compile(w: Weights): Compiled = {
     val rels = relations.toArray
@@ -83,7 +84,14 @@ object RelationScorer {
     val base = typePairs.iterator.map { case (h, t) =>
       (h, t) -> rels.map(r => w.typePair.getOrElse((h, t, r), -2.0))
     }.toMap
-    Compiled(rels, base, rels.map(_ => -2.0), w.wDist, w.wCooc, w.wPool)
+    // candidate pruning support: per type pair the positive-base indices,
+    // plus the smallest margin any NEGATIVE base needs to flip (the guard
+    // below which the pruned walk is provably exact)
+    val posIdx = base.map { case (k, b) => k -> b.indices.filter(b(_) > 0.0).toArray }
+    val negGuard = base.valuesIterator.flatten.filter(_ <= 0.0)
+      .foldLeft(2.0)((g, v) => math.min(g, -v))
+    Compiled(rels, base, rels.map(_ => -2.0), w.wDist, w.wCooc, w.wPool,
+      posIdx, negGuard)
   }
 
   /** Adaptive-threshold decode over a compiled base array: positives only
@@ -96,6 +104,31 @@ object RelationScorer {
       val s = base(i) + soft + extra(i)
       if (s > 0.0) buf += ((cw.rels(i), s))
       i += 1
+    }
+    buf.sortBy { case (r, s) => (-s, r) }.take(MaxLabels).toSeq
+  }
+
+  private val EmptyIdx = Array.empty[Int]
+
+  /** `decode` with EXACT candidate pruning for the no-`extra` paths: when
+    * soft < negGuard, a negative-base relation cannot clear the threshold,
+    * so only the type pair's positive-base indices are walked (typically 1
+    * instead of 96). Falls back to the full walk when the guard does not
+    * hold (e.g. pathological co-occurrence counts), so the output equals
+    * `decode(cw, base, soft)` for EVERY input — pinned by the kernel↔staged
+    * parity specs and the shared oracles. */
+  private[pipeline] def decodeFast(cw: Compiled, typePair: (String, String),
+      base: Array[Double], soft: Double): Seq[(String, Double)] = {
+    if (soft >= cw.negGuard) return decode(cw, base, soft)
+    val cand = cw.posIdx.getOrElse(typePair, EmptyIdx)
+    if (cand.isEmpty) return Nil
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var k = 0
+    while (k < cand.length) {
+      val i = cand(k)
+      val s = base(i) + soft
+      if (s > 0.0) buf += ((cw.rels(i), s))
+      k += 1
     }
     buf.sortBy { case (r, s) => (-s, r) }.take(MaxLabels).toSeq
   }
@@ -177,7 +210,7 @@ object RelationScorer {
         val soft = w.wDist * disBucket(p.min_sent_dist) +
           w.wCooc * math.log1p(p.n_cooc.toDouble)
         // adaptive-threshold decode: logit > 0 (TH logit), top MaxLabels
-        decode(w, base, soft)
+        decodeFast(w, (p.h_type, p.t_type), base, soft)
           .map { case (r, s) => ScoredTriple(p.doc_id, p.h_qid, r, p.t_qid, s, p.evidence) }
       }
     }.toDF()
@@ -246,7 +279,7 @@ object RelationScorer {
                   val ev = evidenceOf(sentSets(i), sentSets(j))
                   val base = w.base.getOrElse((hType, tType), w.default)
                   val soft = w.wDist * disBucket(msd) + w.wCooc * math.log1p(cooc.toDouble)
-                  decode(w, base, soft).foreach { case (r, s) =>
+                  decodeFast(w, (hType, tType), base, soft).foreach { case (r, s) =>
                     out += ScoredTriple(docId, hQid, r, tQid, s, ev)
                   }
                 }
