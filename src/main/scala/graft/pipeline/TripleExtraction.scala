@@ -75,12 +75,14 @@ object TripleExtraction {
     // docs-read-this-run metric in one action
     val nDocs = work.count()
 
-    // production path: linkedFast (single broadcast probe) — the relational
-    // vote variant (Stages.linked) embeds the mention lineage twice.
-    // cache: the injected feature build walks linked four ways
+    // production path: scoring runs the ZERO-SHUFFLE fused kernels over the
+    // cached work set (rule: RelationScorer.extractKernelFused; injected:
+    // KnowledgeInjection.extractInjectedFused — both pinned row-identical
+    // to their staged twins in FusedSpec/InjectionSpec); linked mentions
+    // are still derived once (single broadcast probe) for canonicalization
     val linked = Stages.linkedFast(Stages.mentionsKernel(work, spark), spark).cache()
-    val scored = (if (inject) KnowledgeInjection.extractInjected(linked, spark)
-                  else RelationScorer.extract(linked, spark))
+    val scored = (if (inject) KnowledgeInjection.extractInjectedFused(work, spark)
+                  else RelationScorer.extractKernelFused(work, spark))
       .select("doc_id", "subj", "pred", "obj")
     val canonical = Canonicalize(scored, linked, spark)
       .join(work.select(col("doc_id"), col("bucket")).distinct(), Seq("doc_id"))
