@@ -85,7 +85,13 @@ object Scaling {
     *  - "injected": the same front end feeding the ZERO-SHUFFLE fused
     *    knowledge-injection kernel (broadcast-KB entity knowledge +
     *    96-class decode) — the complete KIRE-shaped pipeline. */
-  def Job: String = sys.env.getOrElse("SPARK_GRAFT_JOB", "rule")
+  def Job: String = {
+    val j = sys.env.getOrElse("SPARK_GRAFT_JOB", "rule")
+    // a typo must fail loudly, not silently bench the rule kernel under
+    // the typo'd label
+    require(j == "rule" || j == "injected", s"SPARK_GRAFT_JOB must be rule|injected, got: $j")
+    j
+  }
 
   /** One timed end-to-end extraction over the selected production path. */
   def runOnce(spark: SparkSession, sfDir: String): (Long, Long, Double) = {

@@ -258,8 +258,6 @@ object SparkEntry {
       // pinned ≤ 1 permille from it in EvalExtrasSpec, is the corpus-scale
       // path). The slice filter pushes to the page scan.
       val pages = Pages.fromDocuments(s, dir).filter(col("doc_id") % 10 === 0)
-      // no cache: since scoredT moved to the fused kernel, linked feeds
-      // only the gold derivation below — single consumer
       val linked = Stages.linkedFast(Stages.mentionsKernel(pages, s), s)
       // fused injected kernel over the same dev slice (row-identity to the
       // staged path pinned in InjectionSpec)
@@ -267,8 +265,12 @@ object SparkEntry {
         .select(col("doc_id"), col("subj"), col("pred"), col("obj"),
           col("score_milli").cast("double").as("score"))
         .distinct()
+      // cache the SMALL gold frame, not linked: thetaSweep walks its gold
+      // lineage three times (eager count + the best-row self-reference),
+      // which would re-run the mention kernel each time
       val gold = Stages.triples(Stages.pairs(linked), s)
         .withColumn("intrain", col("doc_id") % 3 === 0)
+        .cache()
       eval.Evaluator.thetaSweep(scoredT, gold)
         .select(col("i"), col("score").cast("long").as("score_milli"),
           col("correct"), col("cum_correct"), col("cum_correct_ign"),

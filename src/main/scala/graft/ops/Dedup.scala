@@ -184,12 +184,16 @@ object Dedup {
     // pointer-jumping propagation: 64 rounds cover diameters to ~2⁶⁴ —
     // effectively any chain — and non-convergence raises rather than
     // silently splitting a cluster
-    val comp = ConnectedComponents.labelPropagation(verts, edges, maxIter = 64)
-      .select(col("v").as("doc_id"), col("comp").as("cluster"))
-    // labelPropagation ran eagerly (checkpoint-rooted labels), so the
-    // intermediate caches are done — release them instead of pinning the
-    // corpus shingle frame for the session lifetime
-    sh.unpersist(); verified.unpersist()
+    val comp =
+      try ConnectedComponents.labelPropagation(verts, edges, maxIter = 64)
+        .select(col("v").as("doc_id"), col("comp").as("cluster"))
+      finally {
+        // labelPropagation ran eagerly (checkpoint-rooted labels), so the
+        // intermediate caches are done — release them (also on the
+        // non-convergence throw) instead of pinning the corpus shingle
+        // frame for the session lifetime
+        sh.unpersist(); verified.unpersist()
+      }
     docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),

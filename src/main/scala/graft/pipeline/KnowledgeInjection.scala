@@ -231,8 +231,12 @@ object KnowledgeInjection {
             else cw.default
     val ruleIs = if (coocOk) cw.ruleIdx.getOrElse((p.h_type, p.t_type), EmptyIdx)
                  else EmptyIdx
+    // distinct: the upstream builders emit set-valued sugg_rels, but this
+    // is a public decode over arbitrary features frames — a duplicated
+    // suggestion must not emit twice nor burn top-4 slots (the old
+    // Set-based walk was idempotent)
     val suggIs = if (p.sugg_rels.isEmpty) EmptyIdx
-                 else p.sugg_rels.iterator.flatMap(cw.relIdx.get).toArray
+                 else p.sugg_rels.iterator.flatMap(cw.relIdx.get).toArray.distinct
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var k = 0
     while (k < ruleIs.length) {
@@ -349,19 +353,15 @@ object KnowledgeInjection {
         val (adjM, suggM, instM, cw) = kbB.value
         it.flatMap { case (docId, text) =>
           val ments = Stages.docMentions(text.split(" ", -1), byFirst)
-          // entity table (insertion-ordered) + per-alias mention counts
-          val ents = scala.collection.mutable.LinkedHashMap
-            .empty[String, (String, scala.collection.mutable.ArrayBuffer[Int])]
+          val arr = RelationScorer.docEntityTable(ments)
+          // per-alias mention counts + entity→alias links (coref input)
           val aliasCnt = scala.collection.mutable.HashMap.empty[String, Int]
           val entAliases = scala.collection.mutable.HashMap.empty[String, Set[String]]
           ments.foreach { m =>
             val e = m._4 // (restToks, alias, qid, nerType)
-            ents.getOrElseUpdate(e._3,
-              (e._4, scala.collection.mutable.ArrayBuffer.empty[Int]))._2 += m._1
             aliasCnt(e._2) = aliasCnt.getOrElse(e._2, 0) + 1
             entAliases(e._3) = entAliases.getOrElse(e._3, Set.empty[String]) + e._2
           }
-          val arr = ents.toArray
           val docents = arr.iterator
             .collect { case (q, (tpe, _)) if tpe != "TIME" => q }.toSet
           val sentSets = arr.map(_._2._2.toSet)

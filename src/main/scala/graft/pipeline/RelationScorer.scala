@@ -155,6 +155,23 @@ object RelationScorer {
   private[pipeline] def evidenceOf(hSet: Set[Int], tSet: Set[Int]): Seq[Int] =
     hSet.intersect(tSet).toSeq.sorted
 
+  /** Per-doc entity table from kernel mentions: insertion-ordered
+    * (qid → (nerType, sent-id multiset)) — the shared scaffolding of the
+    * fused scoring kernels (this one and `KnowledgeInjection
+    * .extractInjectedFused`); qid→type is functional so first-writer-wins
+    * is exact. */
+  private[pipeline] def docEntityTable(
+      ments: scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Stages.DictEntry)])
+      : Array[(String, (String, scala.collection.mutable.ArrayBuffer[Int]))] = {
+    val ents = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, scala.collection.mutable.ArrayBuffer[Int])]
+    ments.foreach { m =>
+      ents.getOrElseUpdate(m._4._3,
+        (m._4._4, scala.collection.mutable.ArrayBuffer.empty[Int]))._2 += m._1
+    }
+    ents.toArray
+  }
+
   case class PairFeature(doc_id: Long, h_qid: String, h_type: String,
                          t_qid: String, t_type: String,
                          min_sent_dist: Int, n_cooc: Long,
@@ -255,14 +272,7 @@ object RelationScorer {
         val w = bw.value
         it.flatMap { case (docId, text) =>
           val ments = Stages.docMentions(text.split(" ", -1), byFirst)
-          // entity → (type, sent-id multiset); qid→type is functional
-          val ents = scala.collection.mutable.LinkedHashMap
-            .empty[String, (String, scala.collection.mutable.ArrayBuffer[Int])]
-          ments.foreach { m =>
-            ents.getOrElseUpdate(m._4._3,
-              (m._4._4, scala.collection.mutable.ArrayBuffer.empty[Int]))._2 += m._1
-          }
-          val arr = ents.toArray
+          val arr = docEntityTable(ments)
           // per-entity sets hoisted out of the k² pair loop
           val sentSets = arr.map(_._2._2.toSet)
           val out = scala.collection.mutable.ArrayBuffer.empty[ScoredTriple]
