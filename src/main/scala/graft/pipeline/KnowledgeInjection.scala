@@ -237,6 +237,15 @@ object KnowledgeInjection {
     // Set-based walk was idempotent)
     val suggIs = if (p.sugg_rels.isEmpty) EmptyIdx
                  else p.sugg_rels.iterator.flatMap(cw.relIdx.get).toArray.distinct
+    // single-candidate fast path (one rule relation, no suggestion — the
+    // common case): no buffer, no sort
+    if (suggIs.isEmpty && ruleIs.length == 1) {
+      val i = ruleIs(0)
+      val s = b(i) + soft
+      return if (s > 0L)
+        Seq(InjScoredTriple(p.doc_id, p.h_qid, cw.rels(i), p.t_qid, s, p.evidence))
+      else Nil
+    }
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var k = 0
     while (k < ruleIs.length) {
@@ -391,7 +400,14 @@ object KnowledgeInjection {
                 val suggRels =
                   if (hType == "TIME" && tType == "TIME") Nil
                   else suggM.getOrElse((hQid, tQid), Nil)
-                if (cooc >= 1 || suggRels.nonEmpty) {
+                // candidate pre-gate (exact): an admitted pair with no rule
+                // for its type pair and no suggested relation decodes
+                // NOTHING (every logit ≤ −WBase + maxSoft < 0), so skip the
+                // evidence/feature/decode allocations entirely — the common
+                // case for non-rule type pairs
+                val hasRule = cooc >= 1 &&
+                  cw.ruleIdx.getOrElse((hType, tType), EmptyIdx).nonEmpty
+                if (hasRule || suggRels.nonEmpty) {
                   val ev = RelationScorer.evidenceOf(sentSets(i), sentSets(j))
                   // membership count over the smaller set — no intersection
                   // Set allocated per pair

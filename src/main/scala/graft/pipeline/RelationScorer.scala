@@ -285,12 +285,18 @@ object RelationScorer {
                 val (tQid, (tType, tS)) = arr(j)
                 val (msd, cooc) = pairDistCooc(hS, tS)
                 if (cooc >= 1) {
-                  // evidence only for pairs that survive the gate
-                  val ev = evidenceOf(sentSets(i), sentSets(j))
-                  val base = w.base.getOrElse((hType, tType), w.default)
+                  val tp = (hType, tType)
                   val soft = w.wDist * disBucket(msd) + w.wCooc * math.log1p(cooc.toDouble)
-                  decodeFast(w, (hType, tType), base, soft).foreach { case (r, s) =>
-                    out += ScoredTriple(docId, hQid, r, tQid, s, ev)
+                  // candidate pre-gate (exact, same guard as decodeFast): a
+                  // type pair with no positive base decodes nothing below
+                  // the negative-base margin — skip the evidence allocation
+                  if (w.posIdx.getOrElse(tp, EmptyIdx).nonEmpty || soft >= w.negGuard) {
+                    // evidence only for pairs that can emit
+                    val ev = evidenceOf(sentSets(i), sentSets(j))
+                    val base = w.base.getOrElse(tp, w.default)
+                    decodeFast(w, tp, base, soft).foreach { case (r, s) =>
+                      out += ScoredTriple(docId, hQid, r, tQid, s, ev)
+                    }
                   }
                 }
               }
