@@ -173,14 +173,16 @@ object SparkEntry {
       pipeline.Enrich.attributes(linked, s).orderBy(col("qid"))
     }),
     "q_coref_top8" -> ((s, dir) => {
-      val ments = Stages.mentionsKernel(Pages.fromDocuments(s, dir), s)
-      pipeline.Coref.aliasCoref(ments)
-        .select("doc_id", "alias", "p1", "p2", "dist", "rank")
-        .orderBy(col("doc_id"), col("alias"), col("p1"), col("rank"))
+      // entity-keyed coref (gen_coref_data.py:148-188): positions of ALL
+      // aliases of one linked qid pair — "stream" ↔ "data stream"
+      val linked = Stages.linkedFast(Stages.mentionsKernel(Pages.fromDocuments(s, dir), s), s)
+      pipeline.Coref.entityCoref(linked)
+        .select("doc_id", "qid", "p1", "p2", "dist", "rank")
+        .orderBy(col("doc_id"), col("qid"), col("p1"), col("rank"))
     }),
     "q_dis_bucket" -> ((s, dir) => {
-      val ments = Stages.mentionsKernel(Pages.fromDocuments(s, dir), s)
-      pipeline.Coref.distanceHistogram(pipeline.Coref.aliasCoref(ments))
+      val linked = Stages.linkedFast(Stages.mentionsKernel(Pages.fromDocuments(s, dir), s), s)
+      pipeline.Coref.distanceHistogram(pipeline.Coref.entityCoref(linked))
         .orderBy(col("bucket"))
     }),
     "q_components" -> ((s, dir) => {
@@ -594,11 +596,11 @@ object SparkEntry {
       inst AS (SELECT q.qid, COALESCE(w.inst_raw, 'entity') AS instance_of
                FROM (SELECT DISTINCT qid FROM linked) q LEFT JOIN iwide w ON q.qid = w.qid),
       corefc AS (
-        SELECT l.doc_id, l.qid, MAX(LEAST(c.k - 1, ${KI.CorefCap})) AS coref
-        FROM (SELECT DISTINCT doc_id, alias, qid FROM linked) l
-        JOIN (SELECT doc_id, alias, COUNT(*) AS k FROM ments GROUP BY 1, 2) c
-          ON l.doc_id = c.doc_id AND l.alias = c.alias
-        GROUP BY 1, 2),
+        -- entity-keyed (gen_coref_data.py:148-188): all positions of a
+        -- qid's aliases pair, so the per-mention partner count is
+        -- min(total qid mentions - 1, cap)
+        SELECT doc_id, qid, LEAST(COUNT(*) - 1, ${KI.CorefCap}) AS coref
+        FROM linked GROUP BY 1, 2),
       iscored AS (
         SELECT pf.doc_id, pf.h_qid, pf.t_qid, r.pred,
           (CASE WHEN ru.pred IS NOT NULL AND pf.n_cooc >= 1 THEN ${KI.WBase} ELSE -${KI.WBase} END
@@ -733,24 +735,24 @@ object SparkEntry {
     "q_coref_top8" -> s"""
       WITH $kbCtes,
       cp AS (
-        SELECT m1.doc_id, m1.alias, m1.pos_start AS p1, m2.pos_start AS p2,
+        SELECT m1.doc_id, m1.qid, m1.pos_start AS p1, m2.pos_start AS p2,
                abs(m1.pos_start - m2.pos_start) AS dist,
-               row_number() OVER (PARTITION BY m1.doc_id, m1.alias, m1.pos_start
+               row_number() OVER (PARTITION BY m1.doc_id, m1.qid, m1.pos_start
                  ORDER BY abs(m1.pos_start - m2.pos_start) ASC, m2.pos_start ASC) AS rank
-        FROM ments m1 JOIN ments m2
-          ON m1.doc_id = m2.doc_id AND m1.alias = m2.alias AND m1.pos_start <> m2.pos_start)
-      SELECT doc_id, alias, CAST(p1 AS INT) AS p1, CAST(p2 AS INT) AS p2,
+        FROM linked m1 JOIN linked m2
+          ON m1.doc_id = m2.doc_id AND m1.qid = m2.qid AND m1.pos_start <> m2.pos_start)
+      SELECT doc_id, qid, CAST(p1 AS INT) AS p1, CAST(p2 AS INT) AS p2,
              CAST(dist AS INT) AS dist, CAST(rank AS INT) AS rank
       FROM cp WHERE rank <= ${graft.pipeline.Coref.TopPartners}
-      ORDER BY doc_id, alias, p1, rank""",
+      ORDER BY doc_id, qid, p1, rank""",
     "q_dis_bucket" -> s"""
       WITH $kbCtes,
       cp AS (
         SELECT m1.doc_id, abs(m1.pos_start - m2.pos_start) AS dist,
-               row_number() OVER (PARTITION BY m1.doc_id, m1.alias, m1.pos_start
+               row_number() OVER (PARTITION BY m1.doc_id, m1.qid, m1.pos_start
                  ORDER BY abs(m1.pos_start - m2.pos_start) ASC, m2.pos_start ASC) AS rank
-        FROM ments m1 JOIN ments m2
-          ON m1.doc_id = m2.doc_id AND m1.alias = m2.alias AND m1.pos_start <> m2.pos_start)
+        FROM linked m1 JOIN linked m2
+          ON m1.doc_id = m2.doc_id AND m1.qid = m2.qid AND m1.pos_start <> m2.pos_start)
       SELECT CAST(CASE WHEN dist <= 0 THEN 0 WHEN dist < 2 THEN 1 WHEN dist < 4 THEN 2
                   WHEN dist < 8 THEN 3 WHEN dist < 16 THEN 4 WHEN dist < 32 THEN 5
                   WHEN dist < 64 THEN 6 WHEN dist < 128 THEN 7 WHEN dist < 256 THEN 8

@@ -52,7 +52,13 @@ object Gazetteer {
     ("table scan", "Q33", 0),
     // partially overlaps "merge join" (shares "join", neither contains the
     // other): both survive maximal-match suppression
-    ("join order", "Q34", 1)
+    ("join order", "Q34", 1),
+    // SECOND surface form of Q7 ("stream"): the cross-alias coref case —
+    // the reference pairs positions across ALL aliases of one entity
+    // (`gen_coref_data.py:148-175`), so "stream" and "data stream" mentions
+    // of Q7 must corefer. Also exercises same-entity containment
+    // suppression ("data stream" ⊃ "stream").
+    ("data stream", "Q7", 1)
   )
 
   /** Distinct alias token lengths — drives the sliding-window widths of the

@@ -74,24 +74,26 @@ object KnowledgeInjection {
                              obj: String, score_milli: Long, evidence: Seq[Int])
 
   /** Per-(doc, entity) coref statistic distilled from the coref OPERATOR's
-    * output (not recomputed from raw mentions): max over the entity's
-    * aliases of its per-mention partner count (≤ 8 by the W1 cap). */
+    * output (not recomputed from raw mentions): the entity-keyed per-mention
+    * partner count (≤ 8 by the W1 cap) — positions of ALL the entity's
+    * aliases pair, per `gen_coref_data.py:148-188`, so the statistic is
+    * min(total entity mentions − 1, 8). */
   def corefCounts(linked: DataFrame): DataFrame = {
-    val perMention = Coref.aliasCoref(linked)
-      .groupBy(col("doc_id"), col("alias"), col("p1"))
+    val perMention = Coref.entityCoref(linked)
+      .groupBy(col("doc_id"), col("qid"), col("p1"))
       .agg(count(lit(1)).as("k"))
-    val perAlias = perMention.groupBy(col("doc_id"), col("alias"))
+    val perEntity = perMention.groupBy(col("doc_id"), col("qid"))
       .agg(max(col("k")).as("k"))
-    linked.select(col("doc_id"), col("alias"), col("qid")).distinct()
-      .join(perAlias, Seq("doc_id", "alias"), "left")
-      .groupBy(col("doc_id"), col("qid"))
-      .agg(max(coalesce(col("k"), lit(0L))).cast("int").as("coref"))
+    linked.select(col("doc_id"), col("qid")).distinct()
+      .join(perEntity, Seq("doc_id", "qid"), "left")
+      .select(col("doc_id"), col("qid"),
+        coalesce(col("k"), lit(0L)).cast("int").as("coref"))
   }
 
   /** Pair features + injected knowledge. Derivation is genuine dataflow from
     * the enrichment operators: direct-edge / shared-neighbor features come
     * from `Enrich.oneHop`'s output, the attribute feature from
-    * `Enrich.attributes`, the coref feature from `Coref.aliasCoref`.
+    * `Enrich.attributes`, the coref feature from `Coref.entityCoref`.
     *
     * Join shape (the 100× consideration): ENTITY-level knowledge (coref
     * partner counts, instance-of, one-hop neighbor sets) attaches before
@@ -363,14 +365,6 @@ object KnowledgeInjection {
         it.flatMap { case (docId, text) =>
           val ments = Stages.docMentions(text.split(" ", -1), byFirst)
           val arr = RelationScorer.docEntityTable(ments)
-          // per-alias mention counts + entity→alias links (coref input)
-          val aliasCnt = scala.collection.mutable.HashMap.empty[String, Int]
-          val entAliases = scala.collection.mutable.HashMap.empty[String, Set[String]]
-          ments.foreach { m =>
-            val e = m._4 // (restToks, alias, qid, nerType)
-            aliasCnt(e._2) = aliasCnt.getOrElse(e._2, 0) + 1
-            entAliases(e._3) = entAliases.getOrElse(e._3, Set.empty[String]) + e._2
-          }
           val docents = arr.iterator
             .collect { case (q, (tpe, _)) if tpe != "TIME" => q }.toSet
           val sentSets = arr.map(_._2._2.toSet)
@@ -379,11 +373,12 @@ object KnowledgeInjection {
             val full = adjM.getOrElse(q, Set.empty[String])
             if (tpe != "TIME") full else full.intersect(docents)
           }
-          // coref partner count (W1 distillation): max over the entity's
-          // aliases of min(k_alias − 1, CorefCap), floored at 0
-          val coref = arr.map { case (q, _) =>
-            entAliases(q).iterator
-              .map(a => math.min(aliasCnt(a) - 1, CorefCap)).max.max(0)
+          // coref partner count (W1 distillation, ENTITY-keyed per
+          // gen_coref_data.py:148-188): all positions of the qid's aliases
+          // pair, so each mention has min(n_qid_mentions − 1, CorefCap)
+          // partners — the sent-id multiset length IS the mention count
+          val coref = arr.map { case (_, (_, sents)) =>
+            math.min(sents.length - 1, CorefCap)
           }
           val instA = arr.map { case (q, _) => instM.getOrElse(q, "entity") }
           val out = scala.collection.mutable.ArrayBuffer.empty[InjScoredTriple]
