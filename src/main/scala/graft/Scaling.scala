@@ -85,7 +85,10 @@ object Scaling {
     *  - "injected": the same front end feeding the ZERO-SHUFFLE fused
     *    knowledge-injection kernel (broadcast-KB entity knowledge +
     *    96-class decode) — the complete KIRE-shaped pipeline. */
-  def Job: String = {
+  // lazy val: the job/dict selection is read and validated exactly ONCE per
+  // process — a mid-run env mutation can never mix kernels (or dictionaries)
+  // within one sweep's output labels
+  lazy val Job: String = {
     val j = sys.env.getOrElse("SPARK_GRAFT_JOB", "rule")
     // a typo must fail loudly, not silently bench the rule kernel under
     // the typo'd label
@@ -93,17 +96,45 @@ object Scaling {
     j
   }
 
-  /** One timed end-to-end extraction over the selected production path. */
+  /** SPARK_GRAFT_DICT=file63k benches the rule kernel with the 63k-alias
+    * file-backed dictionary (SyntheticDict formats → DictFiles ingest →
+    * broadcast), the reference's dictionary scale; default is the
+    * Gazetteer fixture dict. */
+  lazy val Dict: String = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_DICT", "gazetteer")
+    require(d == "gazetteer" || d == "file63k",
+      s"SPARK_GRAFT_DICT must be gazetteer|file63k, got: $d")
+    require(d == "gazetteer" || Job == "rule",
+      "file63k dictionary applies to the rule kernel only")
+    d
+  }
+
+  private def ruleDict(spark: SparkSession)
+      : Map[String, Array[Stages.DictEntry]] = Dict match {
+    case "file63k" =>
+      graft.kb.SyntheticDict.write()
+      Stages.kernelDictFrom(Stages.resolveAliasEntries(
+        graft.sources.DictFiles.loadAliasEntries(spark,
+          graft.kb.SyntheticDict.tsvPath, graft.kb.SyntheticDict.nt3Path),
+        graft.kb.Gazetteer.entityTypes.toMap))
+    case _ => Stages.kernelDict
+  }
+
+  /** One timed end-to-end extraction over the selected production path.
+    * Dictionary load/resolve happens OUTSIDE the timed section — it is
+    * per-job setup (the reference loads its pickled dict once too), and
+    * the measurement target is per-document throughput. */
   def runOnce(spark: SparkSession, sfDir: String): (Long, Long, Double) = {
     val corpus = materializedCorpus(spark, sfDir)
     val nDocs = spark.read.parquet(corpus).count()
+    val dict = if (Job == "rule") ruleDict(spark) else null
     val t0 = System.nanoTime()
     val pages = spark.read.parquet(corpus)
       .withColumn("text", graft.functions.ExtractHtmlText(col("html")))
     val nTriples = Job match {
       case "injected" =>
         graft.pipeline.KnowledgeInjection.extractInjectedFused(pages, spark).count()
-      case _ => Stages.extractTriplesKernel(pages, spark).count()
+      case _ => Stages.extractTriplesKernelWith(pages, spark, dict).count()
     }
     val secs = (System.nanoTime() - t0) / 1e9
     (nDocs, nTriples, secs)
@@ -133,7 +164,7 @@ object Scaling {
       val (docs, triples, secs) = best(cpus)
       val dps = docs / secs
       val tps = triples / secs
-      println(f"""{"job":"$Job","cpus":$cpus,"docs":$docs,"triples":$triples,"secs":$secs%.2f,"docs_per_sec":$dps%.0f,"triples_per_sec":$tps%.0f}""")
+      println(f"""{"job":"$Job","dict":"$Dict","cpus":$cpus,"docs":$docs,"triples":$triples,"secs":$secs%.2f,"docs_per_sec":$dps%.0f,"triples_per_sec":$tps%.0f}""")
       cpus -> dps
     }
     for (Seq((c1, d1), (c2, d2)) <- results.sliding(2)) {

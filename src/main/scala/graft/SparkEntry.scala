@@ -144,6 +144,26 @@ object SparkEntry {
       Stages.extractTriplesKernel(pages, s)
         .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
     }),
+    "q_linked_file" -> ((s, dir) => {
+      // S5 at REFERENCE scale: a 63k-alias two-tier dictionary ingested
+      // from the reference's file formats (entityLabel2WikidataId.txt +
+      // entity_labels.nt3), resolved once, broadcast into the kernels —
+      // no plan literals at this size. The oracle reads the same files.
+      val resolved = fileDictResolved(s)
+      val ments = Stages.mentionsKernelWith(Pages.fromDocuments(s, dir), s,
+        Stages.kernelDictFrom(resolved))
+      Stages.linkedFastWith(ments, s, resolved)
+        .groupBy(col("doc_id"), col("alias"), col("qid"), col("ner_type"))
+        .agg(count(lit(1)).as("n_mentions"))
+        .orderBy(col("doc_id"), col("alias"))
+    }),
+    "q_triples_file" -> ((s, dir) => {
+      // the production extraction kernel fed by the file-backed 63k dict
+      val resolved = fileDictResolved(s)
+      Stages.extractTriplesKernelWith(Pages.fromDocuments(s, dir), s,
+          Stages.kernelDictFrom(resolved))
+        .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
+    }),
     "q_stream_triples" -> ((s, dir) => {
       // Structured Streaming twin of q_triples_kernel: the same kernel over
       // a multi-file crawl-feed stream, driven to completion — batch-count
@@ -461,6 +481,17 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx")))
   )
 
+  /** Rebuild + load + resolve the reference-scale file dictionary (always
+    * regenerated — deterministic content, see SyntheticDict; an existence
+    * cache would serve stale bytes after a generator change). */
+  private def fileDictResolved(s: SparkSession): Seq[(String, String, String)] = {
+    graft.kb.SyntheticDict.write()
+    Stages.resolveAliasEntries(
+      sources.DictFiles.loadAliasEntries(s,
+        graft.kb.SyntheticDict.tsvPath, graft.kb.SyntheticDict.nt3Path),
+      Gazetteer.entityTypes.toMap)
+  }
+
   // -------------------------------------------------------------- oracle SQL
 
   /** Shared DuckDB CTE prefix reproducing the pipeline stages relationally.
@@ -472,10 +503,9 @@ object SparkEntry {
     * (mirrors Stages.sentenceMentions): all L-token windows (L ∈ alias
     * lengths) inside one sentence matching the dictionary, minus matches
     * strictly contained in a longer match. */
-  private def kbCtes: String = s"""
-    aliases(alias, qid, prio) AS (SELECT * FROM (VALUES ${Gazetteer.aliasValues}) v(alias, qid, prio)),
-    etypes(qid, ner_type) AS (SELECT * FROM (VALUES ${Gazetteer.typeValues}) v(qid, ner_type)),
-    rules(h_type, t_type, pred) AS (SELECT * FROM (VALUES ${Gazetteer.ruleValues}) v(h_type, t_type, pred)),
+  /** Tokenization + sentence CTE chain (norm_docs → sents), shared by the
+    * Gazetteer-dict and file-dict oracle variants. */
+  private def sentCtes: String = s"""
     norm_docs AS (
       SELECT doc_id, trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')) AS text FROM documents
     ),
@@ -509,7 +539,13 @@ object SparkEntry {
       SELECT doc_id, CAST(sent_id AS INT) AS sent_id, MIN(pos) AS st, MAX(pos) AS en,
              list(tok ORDER BY pos) AS stoks
       FROM tsent GROUP BY doc_id, sent_id
-    ),
+    )"""
+
+  private def kbCtes: String = s"""
+    aliases(alias, qid, prio) AS (SELECT * FROM (VALUES ${Gazetteer.aliasValues}) v(alias, qid, prio)),
+    etypes(qid, ner_type) AS (SELECT * FROM (VALUES ${Gazetteer.typeValues}) v(qid, ner_type)),
+    rules(h_type, t_type, pred) AS (SELECT * FROM (VALUES ${Gazetteer.ruleValues}) v(h_type, t_type, pred)),
+    $sentCtes,
     cand AS (
       SELECT doc_id, sent_id, c.ps AS pos_start, c.pe AS pos_end, c.phrase AS alias
       FROM (
@@ -556,6 +592,78 @@ object SparkEntry {
       FROM sent_ents h
       JOIN sent_ents t ON h.doc_id = t.doc_id AND h.sent_id = t.sent_id AND h.qid <> t.qid
     )"""
+
+  /** File-dict CTE chain: the SAME pipeline semantics over the 63k-alias
+    * two-tier dictionary read from `graft.kb.SyntheticDict`'s files in the
+    * reference's own formats — ingest normalization (`_handleLabel`), the
+    * `split('/')[-1]` id rule, and the cross-file prio resolution are all
+    * replayed in SQL from the files the Spark query (re)writes. Unknown
+    * entities default to MISC (the dictionary carries no types; the
+    * Gazetteer type table covers its own qids). */
+  private def fileKbCtes: String = {
+    import graft.kb.SyntheticDict
+    s"""
+    etypes(qid, ner_type) AS (SELECT * FROM (VALUES ${Gazetteer.typeValues}) v(qid, ner_type)),
+    rules(h_type, t_type, pred) AS (SELECT * FROM (VALUES ${Gazetteer.ruleValues}) v(h_type, t_type, pred)),
+    aliases AS (
+      SELECT replace(replace(lower(c0), '.', ''), '-', ' ') AS alias,
+             list_extract(string_split(c1, '/'), -1) AS qid, 0 AS prio
+      FROM read_csv('${SyntheticDict.tsvPath}', delim='\t', header=false,
+                    columns={'c0': 'VARCHAR', 'c1': 'VARCHAR'})
+      UNION ALL
+      SELECT replace(replace(lower(c1), '.', ''), '-', ' ') AS alias,
+             c0 AS qid, 1 AS prio
+      FROM read_csv('${SyntheticDict.nt3Path}', delim='\t', header=false,
+                    columns={'c0': 'VARCHAR', 'c1': 'VARCHAR'})
+    ),
+    winner AS (
+      SELECT alias, qid FROM (
+        SELECT alias, qid,
+               row_number() OVER (PARTITION BY alias ORDER BY prio ASC, qid ASC) AS rk
+        FROM aliases
+      ) WHERE rk = 1
+    ),
+    $sentCtes,
+    cand AS (
+      SELECT doc_id, sent_id, c.ps AS pos_start, c.pe AS pos_end, c.phrase AS alias
+      FROM (
+        SELECT doc_id, sent_id, st, en,
+               unnest(list_filter(
+                 flatten(list_transform([${(1 to SyntheticDict.MaxAliasTokens).mkString(", ")}], L ->
+                   list_transform(range(len(stoks)), i ->
+                     {'ps': st + i, 'pe': st + i + L - 1,
+                      'phrase': array_to_string(stoks[i + 1 : i + CAST(L AS INT)], ' ')}))),
+                 c -> c.pe <= en)) AS c
+        FROM sents)
+    ),
+    ments0 AS (
+      SELECT c.doc_id, c.sent_id, CAST(c.pos_start AS INT) AS pos_start,
+             CAST(c.pos_end AS INT) AS pos_end, c.alias
+      FROM cand c WHERE c.alias IN (SELECT alias FROM aliases)
+    ),
+    ments AS (
+      SELECT m.* FROM ments0 m
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ments0 o
+        WHERE o.doc_id = m.doc_id AND o.pos_start <= m.pos_start
+          AND o.pos_end >= m.pos_end
+          AND o.pos_end - o.pos_start > m.pos_end - m.pos_start)
+    ),
+    linked AS (
+      SELECT m.doc_id, m.sent_id, m.pos_start, m.pos_end, m.alias, w.qid,
+             COALESCE(e.ner_type, 'MISC') AS ner_type
+      FROM ments m
+      JOIN winner w ON m.alias = w.alias
+      LEFT JOIN etypes e ON w.qid = e.qid
+    ),
+    sent_ents AS (SELECT DISTINCT doc_id, sent_id, qid, ner_type FROM linked),
+    prs AS (
+      SELECT h.doc_id, h.sent_id, h.qid AS h_qid, h.ner_type AS h_type,
+             t.qid AS t_qid, t.ner_type AS t_type
+      FROM sent_ents h
+      JOIN sent_ents t ON h.doc_id = t.doc_id AND h.sent_id = t.sent_id AND h.qid <> t.qid
+    )"""
+  }
 
   /** Shared CTE chain replaying the knowledge-injection pipeline in
     * DuckDB (enriched pair features, 96-class integer milli-logits,
@@ -694,6 +802,15 @@ object SparkEntry {
       ORDER BY 1, 2, 3, 4""",
     "q_triples_kernel" -> s"""
       WITH $kbCtes
+      SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
+      FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type
+      ORDER BY 1, 2, 3, 4""",
+    "q_linked_file" -> s"""
+      WITH $fileKbCtes
+      SELECT doc_id, alias, qid, ner_type, COUNT(*) AS n_mentions
+      FROM linked GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""",
+    "q_triples_file" -> s"""
+      WITH $fileKbCtes
       SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
       FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type
       ORDER BY 1, 2, 3, 4""",

@@ -182,9 +182,15 @@ object Stages {
     * pre-resolved dictionary. Result-identical to `linked` (FusedSpec pins
     * it); `linked` keeps the reference-shaped relational vote for
     * inspection and the q_linked oracle. Use THIS in production plans. */
-  def linkedFast(mentions: DataFrame, spark: SparkSession): DataFrame = {
+  def linkedFast(mentions: DataFrame, spark: SparkSession): DataFrame =
+    linkedFastWith(mentions, spark, resolvedAliases)
+
+  /** `linkedFast` over an arbitrary resolved dictionary (file-backed
+    * reference-scale dictionaries). */
+  def linkedFastWith(mentions: DataFrame, spark: SparkSession,
+      resolved: Seq[(String, String, String)]): DataFrame = {
     import spark.implicits._
-    val dict = broadcast(resolvedAliases.toDF("alias", "qid", "ner_type"))
+    val dict = broadcast(resolved.toDF("alias", "qid", "ner_type"))
     mentions.join(dict, Seq("alias"))
       .select("doc_id", "sent_id", "pos_start", "pos_end", "alias", "qid", "ner_type")
   }
@@ -221,18 +227,27 @@ object Stages {
 
   // ------------------------------------------------------------ fused path
 
-  /** Scala-side dictionary resolution. The per-doc majority vote is
-    * doc-independent in the web path: every mention of an alias carries the
-    * same candidate set, so the per-(doc, alias) winner is the global
-    * (prio asc, qid asc) winner. Equivalence with the relational vote is
-    * enforced by the shared DuckDB oracle (q_linked) and FusedSpec. */
-  def resolvedAliases: Seq[(String, String, String)] = {
-    val types = Gazetteer.entityTypes.toMap
-    Gazetteer.aliases.groupBy(_._1).toSeq.sortBy(_._1).map { case (a, cands) =>
+  /** Scala-side dictionary resolution over ARBITRARY (alias, qid, prio)
+    * entries — the Gazetteer constants and file-backed 63k-alias
+    * dictionaries (`sources.DictFiles`) resolve through one rule. The
+    * per-doc majority vote is doc-independent in the web path: every
+    * mention of an alias carries the same candidate set, so the
+    * per-(doc, alias) winner is the global (prio asc, qid asc) winner.
+    * Entities outside the type table default to MISC (the reference's
+    * dictionary carries no types either — types come from the dataset). */
+  def resolveAliasEntries(entries: Seq[(String, String, Int)],
+      types: Map[String, String],
+      defaultType: String = "MISC"): Seq[(String, String, String)] =
+    entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (a, cands) =>
       val qid = cands.minBy(c => (c._3, c._2))._2
-      (a, qid, types(qid))
+      (a, qid, types.getOrElse(qid, defaultType))
     }
-  }
+
+  /** The Gazetteer fixture dictionary, resolved. Equivalence with the
+    * relational vote is enforced by the shared DuckDB oracle (q_linked)
+    * and FusedSpec. */
+  def resolvedAliases: Seq[(String, String, String)] =
+    resolveAliasEntries(Gazetteer.aliases, Gazetteer.entityTypes.toMap)
 
   /** mapPartitions production kernel (the north_star's "batched mention
     * detection per document-partition with pre-broadcast dictionaries"):
@@ -252,12 +267,16 @@ object Stages {
     * so multi-word matching is token-by-token comparison — no slice/concat
     * allocation per probe (the kernels are bandwidth-bound at high core
     * counts; string building was the dominant allocation). */
-  def kernelDict: Map[String, Array[DictEntry]] =
-    resolvedAliases
+  def kernelDictFrom(resolved: Seq[(String, String, String)])
+      : Map[String, Array[DictEntry]] =
+    resolved
       .map { case (alias, qid, tpe) =>
         val ts = alias.split(" "); ts.head -> ((ts.drop(1), alias, qid, tpe)) }
       .groupBy(_._1)
       .map { case (k, v) => k -> v.map(_._2).sortBy(-_._1.length).toArray }
+
+  def kernelDict: Map[String, Array[DictEntry]] =
+    kernelDictFrom(resolvedAliases)
 
   /** Sentence spans (terminal punctuation + abbreviation guard + chunk cap)
     * for one token array — the plain-Scala twin of `sentences()`, shared by
@@ -344,9 +363,16 @@ object Stages {
   /** mapPartitions twin of mentions(): (doc_id, sent_id, pos_start,
     * pos_end, alias) — row-identical (FusedSpec), ~10× cheaper than the
     * interpreted-HOF path. */
-  def mentionsKernel(pages: DataFrame, spark: SparkSession): DataFrame = {
+  def mentionsKernel(pages: DataFrame, spark: SparkSession): DataFrame =
+    mentionsKernelWith(pages, spark, kernelDict)
+
+  /** Same kernel over an ARBITRARY broadcast dictionary — the path for
+    * file-backed reference-scale dictionaries (63k+ aliases ride as a
+    * broadcast variable, never a plan literal). */
+  def mentionsKernelWith(pages: DataFrame, spark: SparkSession,
+      dict: Map[String, Array[DictEntry]]): DataFrame = {
     import spark.implicits._
-    val byFirstB = spark.sparkContext.broadcast(kernelDict)
+    val byFirstB = spark.sparkContext.broadcast(dict)
     pages.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val byFirst = byFirstB.value
@@ -366,9 +392,15 @@ object Stages {
     * FusedSpec pins that divergence explicitly. Callers that cannot
     * guarantee uniqueness must dedup upstream (the runner's per-bucket
     * overwrite does) or append .distinct(). */
-  def extractTriplesKernel(pages: DataFrame, spark: SparkSession): DataFrame = {
+  def extractTriplesKernel(pages: DataFrame, spark: SparkSession): DataFrame =
+    extractTriplesKernelWith(pages, spark, kernelDict)
+
+  /** Same fused kernel over an arbitrary broadcast dictionary (the 63k
+    * file-backed case: ~6 MB of broadcast, identical zero-shuffle shape). */
+  def extractTriplesKernelWith(pages: DataFrame, spark: SparkSession,
+      dict: Map[String, Array[DictEntry]]): DataFrame = {
     import spark.implicits._
-    val byFirstB = spark.sparkContext.broadcast(kernelDict)
+    val byFirstB = spark.sparkContext.broadcast(dict)
     val rulesB = spark.sparkContext.broadcast(
       Gazetteer.relRules.map(r => (r._1, r._2) -> r._3).toMap)
     pages.select(col("doc_id"), col("text")).as[(Long, String)]
