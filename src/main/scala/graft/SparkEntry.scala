@@ -1179,9 +1179,13 @@ object SparkEntry {
       bands AS (
         SELECT doc_id, CAST(seed // ${graft.ops.Dedup.BandRows} AS INT) AS band,
                md5(MIN(minhash) || '|' || MAX(minhash)) AS band_sig
-        FROM mh GROUP BY doc_id, seed // ${graft.ops.Dedup.BandRows})
+        FROM mh GROUP BY doc_id, seed // ${graft.ops.Dedup.BandRows}),
+      kept AS (
+        SELECT doc_id, band, band_sig FROM (
+          SELECT *, COUNT(*) OVER (PARTITION BY band, band_sig) AS df FROM bands)
+        WHERE df <= ${graft.ops.Dedup.MaxBandDf})
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM kept a JOIN kept b
         ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
       ORDER BY 1, 2""",
     "q_jaccard" -> s"""
@@ -1208,11 +1212,16 @@ object SparkEntry {
         SELECT doc_id, CAST(seed // ${graft.ops.Dedup.BandRows} AS INT) AS band,
                md5(MIN(minhash) || '|' || MAX(minhash)) AS band_sig
         FROM mh GROUP BY doc_id, seed // ${graft.ops.Dedup.BandRows}),
+      kept AS (
+        SELECT doc_id, band, band_sig FROM (
+          SELECT *, COUNT(*) OVER (PARTITION BY band, band_sig) AS df FROM bands)
+        WHERE df <= ${graft.ops.Dedup.MaxBandDf}),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM kept a JOIN kept b
           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-      shs AS (SELECT doc_id, list(sh) AS shl FROM sh GROUP BY 1),
+      shs AS (SELECT doc_id, list(sh ORDER BY sh)[1:${graft.ops.Dedup.MaxVerifyShingles}] AS shl
+              FROM sh GROUP BY 1),
       verified AS (
         SELECT c.doc_a, c.doc_b
         FROM cand c JOIN shs a ON c.doc_a = a.doc_id JOIN shs b ON c.doc_b = b.doc_id
@@ -1280,9 +1289,13 @@ object SparkEntry {
         SELECT vec_id, CAST(j // $EmbBitsPerBand AS INT) AS band,
                CAST(SUM(bit * CAST(pow(2, j % $EmbBitsPerBand) AS BIGINT)) AS BIGINT) AS sig
         FROM bits GROUP BY 1, 2),
+      kept AS (
+        SELECT vec_id, band, sig FROM (
+          SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS df FROM sigs)
+        WHERE df <= ${graft.ops.Similarity.MaxBandDf}),
       cand AS (
         SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+        FROM kept a JOIN kept b ON a.band = b.band AND a.sig = b.sig
         WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
       dots AS (
         SELECT query_id, neighbor_id, CAST(SUM(av * bv) AS BIGINT) AS dot FROM (
@@ -1395,9 +1408,13 @@ object SparkEntry {
         SELECT vec_id, CAST(j // $EmbBitsPerBand AS INT) AS band,
                CAST(SUM(bit * CAST(pow(2, j % $EmbBitsPerBand) AS BIGINT)) AS BIGINT) AS sig
         FROM bits GROUP BY 1, 2),
+      kept AS (
+        SELECT vec_id, band, sig FROM (
+          SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS df FROM sigs)
+        WHERE df <= ${graft.ops.Similarity.MaxBandDf}),
       cand AS (
         SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
-        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        FROM kept a JOIN kept b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
       dots AS (
         SELECT doc_a, doc_b, CAST(SUM(av * bv) AS BIGINT) AS dot FROM (
           SELECT c.doc_a, c.doc_b, unnest(a.q) AS av, unnest(b.q) AS bv

@@ -36,32 +36,37 @@ object ConnectedComponents {
     var labels = vertices.select(col("scope"), col("v"), col("v").as("comp"))
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val neighborMin = bidir
-        .join(labels, bidir("scope") === labels("scope") && bidir("dst") === labels("v"))
-        .select(bidir("scope"), col("src").as("v"), col("comp"))
-        .groupBy("scope", "v").agg(min(col("comp")).as("ncomp"))
-      val stepped = labels.join(neighborMin, Seq("scope", "v"), "left")
-        .select(col("scope"), col("v"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      // pointer jump: comp := min(comp, comp(comp)) — labels are always
-      // vertex ids, so the self-join on (scope, comp = v) always resolves;
-      // this is what turns O(diameter) rounds into O(log diameter)
-      val parents = stepped.select(col("scope").as("pscope"),
-        col("v").as("pv"), col("comp").as("pcomp"))
-      val next = stepped
-        .join(parents, stepped("scope") === col("pscope")
-          && stepped("comp") === col("pv"), "left")
-        .select(stepped("scope"), stepped("v"),
-          least(stepped("comp"), coalesce(col("pcomp"), stepped("comp"))).as("comp"))
-        .localCheckpoint() // cut lineage; also stabilizes the loop condition
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("scope", "v"))
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
+    try {
+      while (!converged && iter < maxIter) {
+        val neighborMin = bidir
+          .join(labels, bidir("scope") === labels("scope") && bidir("dst") === labels("v"))
+          .select(bidir("scope"), col("src").as("v"), col("comp"))
+          .groupBy("scope", "v").agg(min(col("comp")).as("ncomp"))
+        val stepped = labels.join(neighborMin, Seq("scope", "v"), "left")
+          .select(col("scope"), col("v"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        // pointer jump: comp := min(comp, comp(comp)) — labels are always
+        // vertex ids, so the self-join on (scope, comp = v) always resolves;
+        // this is what turns O(diameter) rounds into O(log diameter)
+        val parents = stepped.select(col("scope").as("pscope"),
+          col("v").as("pv"), col("comp").as("pcomp"))
+        val next = stepped
+          .join(parents, stepped("scope") === col("pscope")
+            && stepped("comp") === col("pv"), "left")
+          .select(stepped("scope"), stepped("v"),
+            least(stepped("comp"), coalesce(col("pcomp"), stepped("comp"))).as("comp"))
+          .localCheckpoint() // cut lineage; also stabilizes the loop condition
+        val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("scope", "v"))
+          .filter(col("comp") =!= col("old")).count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+    } finally {
+      // labels is checkpoint-rooted; release the cache on EVERY exit path —
+      // a failed mid-iteration action must not leak it for the session
+      bidir.unpersist()
     }
-    bidir.unpersist() // labels is checkpoint-rooted; the cache is done
     if (!converged)
       throw new IllegalStateException(
         s"labelPropagation: no fixpoint after $maxIter rounds — raise maxIter")

@@ -22,6 +22,8 @@ object Dedup {
   val BandRows = 2       // rows per LSH band → 4 bands
   val ShingleSize = 3    // word n-gram width
   val MaxShingleDf = 1000 // hot-shingle cap: document-frequency ceiling
+  val MaxBandDf = 1000   // LSH band-bucket cap: same blowup class as shingles
+  val MaxVerifyShingles = 20000 // per-doc bound on the in-row verify arrays
 
   /** Exact dedup: md5 group, group size, canonical representative = min id.
     * The `keep` flag implements "first writer wins" dedup at scale. */
@@ -73,10 +75,22 @@ object Dedup {
       .agg(md5(concat(min(col("minhash")), lit("|"), max(col("minhash")))
         .cast("binary")).as("band_sig"))
 
-  /** Candidate near-dup pairs from LSH bucket join (doc_a < doc_b). */
-  def lshCandidates(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
+  /** Candidate near-dup pairs from LSH bucket join (doc_a < doc_b).
+    *
+    * Band-bucket cap (ENFORCED, mirroring MaxShingleDf): a bucket holding
+    * > maxBandDf docs — boilerplate-heavy web pages whose minhashes all
+    * collide — would emit O(df²) join rows; such buckets are DROPPED from
+    * the pair join (both sides). Conservative for recall: a true near-dup
+    * pair sharing ONLY an overfull bucket is missed, exactly like the
+    * shingle cap's conservative Jaccard; a pair that also shares any sane
+    * bucket still surfaces. The DuckDB oracle applies the identical cap. */
+  def lshCandidates(bands: DataFrame, maxBandDf: Int = MaxBandDf): DataFrame = {
+    val kept = bands
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("band", "band_sig")))
+      .filter(col("df") <= maxBandDf)
+      .drop("df")
+    val a = kept.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -165,8 +179,15 @@ object Dedup {
     // arrays — cache it so the explode+distinct runs once
     val sh = shingles(docs).cache()
     val cands = lshCandidates(lshBands(minhashFromShingles(sh, spark)))
+    // verification arrays are BOUNDED: a pathologically long document
+    // contributes at most MaxVerifyShingles (sorted-prefix, deterministic)
+    // to its in-row shingle set, so no candidate-join row grows without
+    // limit. Above the cap the verify Jaccard is computed over the prefix
+    // sets (documented approximation — web documents sit far below it; the
+    // oracle applies the identical prefix rule).
     val shSets = sh.groupBy("doc_id")
-      .agg(collect_list(col("shingle")).as("shs"))
+      .agg(slice(array_sort(collect_list(col("shingle"))), 1, MaxVerifyShingles)
+        .as("shs"))
     val verified = cands
       .join(shSets.select(col("doc_id").as("doc_a"), col("shs").as("sha")), "doc_a")
       .join(shSets.select(col("doc_id").as("doc_b"), col("shs").as("shb")), "doc_b")

@@ -19,6 +19,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Sketch-bucket cap (mirrors Dedup.MaxBandDf): a degenerate (band, sig)
+    * bucket — e.g. an all-equal embedding cluster — would emit O(df²) join
+    * rows; buckets above the cap are dropped from the candidate joins, and
+    * the DuckDB oracles apply the identical rule. */
+  val MaxBandDf = 1000
+
+  private def cappedBuckets(sk: DataFrame, maxBandDf: Int): DataFrame =
+    sk.withColumn("df", count(lit(1)).over(Window.partitionBy("band", "sig")))
+      .filter(col("df") <= maxBandDf)
+      .drop("df")
+
   /** Quantize a float-array embedding to exact int space + squared norm. */
   def quantized(embeddings: DataFrame): DataFrame =
     embeddings.select(
@@ -96,9 +107,11 @@ object Similarity {
     * the bucket join replaces the O(Q·N) cross join with a uniform-key
     * shuffle whose fan-in is tunable via bands/bitsPerBand. */
   def lshTopK(embeddings: DataFrame, k: Int, probeMaxId: Long,
-              bands: Int, bitsPerBand: Int, spark: SparkSession): DataFrame = {
+              bands: Int, bitsPerBand: Int, spark: SparkSession,
+              maxBandDf: Int = MaxBandDf): DataFrame = {
     val q = quantized(embeddings)
-    val sk = bandSketches(embeddings, bands, bitsPerBand, spark)
+    val sk = cappedBuckets(bandSketches(embeddings, bands, bitsPerBand, spark),
+      maxBandDf)
     val probeSk = sk.filter(col("vec_id") < probeMaxId)
       .select(col("vec_id").as("query_id"), col("band"), col("sig"))
     val candPairs = probeSk.join(sk.withColumnRenamed("vec_id", "neighbor_id"), Seq("band", "sig"))
@@ -204,9 +217,11 @@ object Similarity {
     * buckets, so it pins the arithmetic, not the recall — the recall bound
     * is pinned separately by an exact-all-pairs comparison in OpsSpec. */
   def cosineNearDups(embeddings: DataFrame, minCosPermille: Int,
-                     bands: Int, bitsPerBand: Int, spark: SparkSession): DataFrame = {
+                     bands: Int, bitsPerBand: Int, spark: SparkSession,
+                     maxBandDf: Int = MaxBandDf): DataFrame = {
     val q = quantized(embeddings)
-    val sk = bandSketches(embeddings, bands, bitsPerBand, spark)
+    val sk = cappedBuckets(bandSketches(embeddings, bands, bitsPerBand, spark),
+      maxBandDf)
     val pairIds = sk.select(col("vec_id").as("doc_a"), col("band"), col("sig"))
       .join(sk.select(col("vec_id").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))

@@ -58,6 +58,37 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped.count() == 435)
   }
 
+  test("LSH band-bucket cap drops degenerate buckets, keeps sane ones") {
+    import spark.implicits._
+    // 12 byte-identical boilerplate docs: every band bucket holds all 12
+    // (> cap 5) → O(df²) pair emission is suppressed entirely. Docs 100/101
+    // are an honest duplicate pair in their own (small) buckets.
+    val clones = (0 until 12).map(i =>
+      (i.toLong, "the same boilerplate page text every single time"))
+    val pairTx = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = (clones ++ Seq((100L, pairTx), (101L, pairTx))).toDF("doc_id", "text")
+    val bands = Dedup.lshBands(Dedup.minhash(df, spark)).cache()
+    val capped = Dedup.lshCandidates(bands, maxBandDf = 5).cache()
+    assert(capped.filter(col("doc_a") < 12L).count() == 0,
+      "overfull clone bucket must emit no pairs")
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((100L, 101L)))
+    // uncapped the clone bucket alone emits 12·11/2 = 66 pairs
+    assert(Dedup.lshCandidates(bands).filter(col("doc_a") < 12L).count() == 66)
+    bands.unpersist(); capped.unpersist()
+  }
+
+  test("sketch-bucket cap bounds an all-equal embedding cluster") {
+    import spark.implicits._
+    // a degenerate cluster: 12 identical embeddings share every band bucket
+    val emb = (0 until 12).map(i => (i.toLong, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.cosineNearDups(emb, 990, 8, 4, spark, maxBandDf = 5).count() == 0)
+    assert(Similarity.lshTopK(emb, 3, 20L, 8, 4, spark, maxBandDf = 5).count() == 0)
+    // at the default (uncapped at this df) ceiling the cluster still joins
+    assert(Similarity.cosineNearDups(emb, 990, 8, 4, spark).count() == 66)
+  }
+
   test("simhash is a pure projection: zero shuffles, zero row blowup") {
     import spark.implicits._
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
