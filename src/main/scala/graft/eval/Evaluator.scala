@@ -23,6 +23,11 @@ object Evaluator {
 
   private def keyCols = Seq("doc_id", "subj", "pred", "obj").map(col)
 
+  /** Ceiling for the exact (single-partition Window) theta sweep — a dev
+    * slice fits comfortably; a corpus-scale frame must take the
+    * distributed `thetaSweepBinned` twin instead. */
+  val MaxExactSweepRows = 2000000L
+
   /** Micro P/R/F1 (permille) of preds vs gold; gold may carry an `intrain`
     * flag for the Ign variant. One row out. */
   def score(preds: DataFrame, gold: DataFrame): DataFrame = {
@@ -73,7 +78,17 @@ object Evaluator {
     * table with an `is_best` marker at the F1-argmax (W2 semantics) and the
     * W3 "Ign" cumulative (train-leaked corrects excluded) when gold carries
     * an `intrain` flag. */
-  def thetaSweep(scored: DataFrame, gold: DataFrame): DataFrame = {
+  def thetaSweep(scored: DataFrame, gold: DataFrame,
+                 maxRows: Long = MaxExactSweepRows): DataFrame = {
+    // GUARD: the exact sweep's global unpartitioned Window funnels every
+    // prediction through a single task — dev-slice-only by design. Refuse
+    // corpus-scale inputs loudly instead of silently single-threading them;
+    // the distributed twin (thetaSweepBinned, ≤1‰ agreement) is the
+    // corpus-scale path. limit(n+1) stops the probe scan early.
+    val probe = scored.limit((maxRows + 1).toInt).count()
+    require(probe <= maxRows,
+      s"thetaSweep: input exceeds $maxRows rows — the exact sweep is a " +
+        "single-partition funnel; use thetaSweepBinned for corpus-scale frames")
     val hasIntrain = gold.columns.contains("intrain")
     val g0 = if (hasIntrain)
       gold.select((keyCols :+ coalesce(col("intrain"), lit(false)).as("intrain")): _*)

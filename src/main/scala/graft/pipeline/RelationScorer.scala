@@ -35,22 +35,32 @@ object RelationScorer {
     * implicit at logit 0. */
   val relations: Seq[String] = graft.kb.DocREDVocab.relations
 
-  /** log2 distance bucketing `dis2idx` (M1,
-    * `ATLOP+KIRE/knowledge_injection_layer/kg_data_loader.py:62-72`):
-    * 1→1, 2-3→2, 4-7→3, 8-15→4, …, ≥256→9. */
-  def disBucket(d: Int): Int = {
+  /** DocRED dis2idx ceiling: ≥256 → bucket 9
+    * (`ATLOP+KIRE/knowledge_injection_layer/kg_data_loader.py:62-72`). */
+  val MaxDisBucketDocRED = 9
+
+  /** DWIE extends the ladder three rungs — 512→10, 1024→11, ≥2048→12
+    * (`SSAN+KIRE/dataset.py:89-102`) — because its news articles run far
+    * longer than DocRED abstracts. */
+  val MaxDisBucketDwie = 12
+
+  /** log2 distance bucketing `dis2idx` (M1): 1→1, 2-3→2, 4-7→3, 8-15→4, …,
+    * capped at `maxBucket` (9 = DocRED, 12 = DWIE). */
+  def disBucket(d: Int, maxBucket: Int = MaxDisBucketDocRED): Int = {
     if (d <= 0) 0
-    else if (d >= 256) 9
-    else 32 - Integer.numberOfLeadingZeros(d) // floor(log2(d)) + 1
+    else math.min(32 - Integer.numberOfLeadingZeros(d), maxBucket) // floor(log2(d)) + 1
   }
 
   /** Column-expression twin of disBucket: an exact integer when-ladder
     * (floor(log2(x)) via FP log2 is NOT exact at power-of-two boundaries). */
-  def disBucketCol(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(d <= 0, 0).when(d < 2, 1).when(d < 4, 2).when(d < 8, 3)
-      .when(d < 16, 4).when(d < 32, 5).when(d < 64, 6)
-      .when(d < 128, 7).when(d < 256, 8).otherwise(9)
-      .cast("int")
+  def disBucketCol(d: org.apache.spark.sql.Column,
+                   maxBucket: Int = MaxDisBucketDocRED): org.apache.spark.sql.Column =
+    least(
+      when(d <= 0, 0).when(d < 2, 1).when(d < 4, 2).when(d < 8, 3)
+        .when(d < 16, 4).when(d < 32, 5).when(d < 64, 6)
+        .when(d < 128, 7).when(d < 256, 8).when(d < 512, 9)
+        .when(d < 1024, 10).when(d < 2048, 11).otherwise(12),
+      lit(maxBucket)).cast("int")
 
   /** Fixture weights: (hType, tType, rel) → logit contribution. wPool scales
     * the pooled-vector dot product in the A9 vector path (0.0 in the fixture
@@ -216,15 +226,17 @@ object RelationScorer {
   }
 
   /** The mapPartitions inference kernel. Weights are broadcast once;
-    * each partition streams rows through the scorer. */
-  def score(features: DataFrame, spark: SparkSession): DataFrame = {
+    * each partition streams rows through the scorer. `maxDisBucket` selects
+    * the distance ladder (DocRED 9 / DWIE 12). */
+  def score(features: DataFrame, spark: SparkSession,
+            maxDisBucket: Int = MaxDisBucketDocRED): DataFrame = {
     import spark.implicits._
     val bw = spark.sparkContext.broadcast(compile(fixtureWeights))
     features.as[PairFeature].mapPartitions { it =>
       val w = bw.value // one fetch per partition
       it.flatMap { p =>
         val base = w.base.getOrElse((p.h_type, p.t_type), w.default)
-        val soft = w.wDist * disBucket(p.min_sent_dist) +
+        val soft = w.wDist * disBucket(p.min_sent_dist, maxDisBucket) +
           w.wCooc * math.log1p(p.n_cooc.toDouble)
         // adaptive-threshold decode: logit > 0 (TH logit), top MaxLabels
         decodeFast(w, (p.h_type, p.t_type), base, soft)

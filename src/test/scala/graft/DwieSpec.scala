@@ -34,6 +34,41 @@ class DwieSpec extends AnyFunSuite {
     assert(triples == Set(("Q1", "P127", "Q8")))
   }
 
+  test("DWIE distance ladder: buckets 10-12 at 512/1024/2048, DocRED capped at 9") {
+    import RelationScorer.{disBucket, disBucketCol, MaxDisBucketDwie}
+    // edge pins, scalar + column twin in lockstep (SSAN+KIRE/dataset.py:89-102)
+    val pins = Seq(255 -> 8, 256 -> 9, 511 -> 9, 512 -> 10, 1023 -> 10,
+      1024 -> 11, 2047 -> 11, 2048 -> 12, 2499 -> 12, 100000 -> 12)
+    for ((d, want) <- pins) {
+      assert(disBucket(d, MaxDisBucketDwie) == want, s"scalar d=$d")
+      val fromCol = spark.range(1)
+        .select(disBucketCol(lit(d), MaxDisBucketDwie).as("b")).head.getInt(0)
+      assert(fromCol == want, s"column d=$d")
+      // DocRED default: same distances never exceed bucket 9
+      assert(disBucket(d) == math.min(want, 9), s"docred d=$d")
+      assert(spark.range(1).select(disBucketCol(lit(d)).as("b")).head.getInt(0)
+        == math.min(want, 9), s"docred column d=$d")
+    }
+  }
+
+  test("DWIE runner case: the extended ladder reaches the scoring kernel") {
+    import spark.implicits._
+    // one far pair (512 sentences apart) of a ruled type pair: DocRED caps
+    // its distance at bucket 9, DWIE buckets it at 10 — the scored logit
+    // must differ by exactly one wDist step
+    val feats = Seq((7L, "Q1", "MISC", "Q8", "ORG", 512, 1L, Seq.empty[Int]))
+      .toDF("doc_id", "h_qid", "h_type", "t_qid", "t_type",
+        "min_sent_dist", "n_cooc", "evidence")
+    def best(maxB: Int): Double =
+      RelationScorer.score(feats, spark, maxDisBucket = maxB)
+        .filter(col("pred") === "P127").head.getAs[Double]("score")
+    val w = RelationScorer.fixtureWeights
+    val (docred, dwie) =
+      (best(RelationScorer.MaxDisBucketDocRED), best(RelationScorer.MaxDisBucketDwie))
+    assert(math.abs((docred - dwie) - (-w.wDist)) < 1e-12,
+      s"expected one wDist step between ladders, got $docred vs $dwie")
+  }
+
   test("extract_html_text is SQL-callable after extension registration") {
     GraftExtensions.register(spark)
     import spark.implicits._

@@ -74,6 +74,20 @@ class EvalExtrasSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"window in binned sweep:\n$plan")
   }
 
+  test("exact theta sweep refuses corpus-scale inputs (guard fires)") {
+    import spark.implicits._
+    val scored = (0 until 50).map(i =>
+      (i.toLong, s"E$i", "P", s"F$i", 1.0 - i * 0.01))
+      .toDF("doc_id", "subj", "pred", "obj", "score")
+    val gold = Seq((0L, "E0", "P", "F0")).toDF("doc_id", "subj", "pred", "obj")
+    val e = intercept[IllegalArgumentException] {
+      Evaluator.thetaSweep(scored, gold, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("thetaSweepBinned"))
+    // at the default ceiling the same frame sweeps fine
+    assert(Evaluator.thetaSweep(scored, gold).count() == 50)
+  }
+
   test("P10: lang filter restricts the runner's input") {
     val out = java.nio.file.Files.createTempDirectory("graft_lang").toString
     val pages = graft.sources.Pages.fromDocuments(spark, "/root/testdata/sf0.001")
