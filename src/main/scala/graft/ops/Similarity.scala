@@ -41,6 +41,78 @@ object Similarity {
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
+  /** (-cosine, cell) struct over a (q, norm2) row vs a centroid struct `c`:
+    * lexicographic order = cosine desc, cell asc; a zero norm on either
+    * side → cosine −2 (see ivfTopK's NaN note). */
+  private def negCosCell(c: Column): Column = struct(
+    when(col("norm2") === 0 || c.getField("cn") === 0, lit(2.0))
+      .otherwise(lit(-1.0) * dotQ(col("q"), c.getField("cq")).cast("double") /
+        sqrt(col("norm2").cast("double") * c.getField("cn").cast("double")))
+      .as("negcos"),
+    c.getField("cell").cast("long").as("cell"))
+
+  /** Nearest-centroid id as a RUNNING lexicographic min over the broadcast
+    * `cents` array — O(nlist) comparisons per row with no ranked-array
+    * materialization; shared by query-time assignment and k-means. */
+  private def nearestCell: Column =
+    aggregate(col("cents"),
+      struct(lit(Double.MaxValue).as("negcos"), lit(Long.MaxValue).as("cell")),
+      (acc, c) => { val cand = negCosCell(c); when(cand < acc, cand).otherwise(acc) })
+      .getField("cell")
+
+  /** Codebook rows (cell, cq, cn) = the embeddings of the `nlist` lowest
+    * vec_ids — deterministic by construction, so the DuckDB oracle replays
+    * it exactly. Also the k-means seed. */
+  def firstNCodebook(q: DataFrame, nlist: Int): DataFrame =
+    q.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cell"), col("q").as("cq"), col("norm2").as("cn"))
+
+  /** K-means IVF codebook in quantized int space — the production hook the
+    * first-N codebook stands in for. Lloyd iterations with the SAME cosine
+    * assignment used at query time, seeded from `firstNCodebook`.
+    *
+    * Determinism (partitioning-invariant, run-to-run bit-identical):
+    * per-dimension centroid updates are exact BIGINT sums (associative +
+    * commutative) divided once with half-up rounding; the seed is fixed;
+    * ties in assignment break to the lowest cell id. Empty cells keep
+    * their previous centroid, so the codebook always holds `nlist` rows.
+    *
+    * Scale shape: each iteration broadcasts the codebook (nlist·dims ints)
+    * and runs ONE posexplode + groupBy(cell, dim) aggregation — N·d rows
+    * into nlist·d groups, map-side combined. Train on a SAMPLE (pass
+    * `embeddings.sample(...)` / `.limit(n)`), as production IVF training
+    * does; `ivfTopK`'s assign/probe/rerank dataflow is codebook-agnostic. */
+  def kmeansCodebook(embeddings: DataFrame, nlist: Int, iters: Int,
+                     spark: SparkSession): DataFrame = {
+    val q = quantized(embeddings).cache()
+    var cents = firstNCodebook(q, nlist)
+    try {
+      for (_ <- 0 until iters) {
+        val cb = cents.agg(
+          array_sort(collect_list(struct(col("cell"), col("cq"), col("cn")))).as("cents"))
+        val assigned = q.crossJoin(broadcast(cb))
+          .withColumn("cell", nearestCell)
+          .select(col("cell"), posexplode(col("q")).as(Seq("d", "v")))
+        val means = assigned.groupBy("cell", "d")
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          // exact-int mean, half-up: sums are milli-scale ints well inside
+          // double's 53-bit mantissa, so the division is deterministic
+          .withColumn("m", floor(col("s").cast("double") / col("n") + 0.5).cast("long"))
+          .groupBy("cell")
+          .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+            x => x.getField("m")).as("cq"))
+          .withColumn("cn", aggregate(col("cq"), lit(0L), (a, v) => a + v * v))
+        cents = cents.select(col("cell"), col("cq").as("oq"), col("cn").as("on"))
+          .join(means.select(col("cell"), col("cq").as("nq"), col("cn").as("nn")),
+            Seq("cell"), "left")
+          .select(col("cell"), coalesce(col("nq"), col("oq")).as("cq"),
+            coalesce(col("nn"), col("on")).as("cn"))
+          .localCheckpoint() // cut the per-iteration lineage growth
+      }
+      cents
+    } finally q.unpersist()
+  }
+
   /** Brute-force cosine top-k: for each probe vector (vec_id in probeIds),
     * the k nearest neighbors by cosine over the whole table. */
   def bruteForceTopK(embeddings: DataFrame, k: Int, probeMaxId: Long): DataFrame = {
@@ -135,12 +207,11 @@ object Similarity {
     * nearest cells and re-ranks exactly inside them — the third ANN shape
     * next to brute force (O(Q·N)) and LSH (bucket join).
     *
-    * Codebook: the embeddings of the `nlist` lowest vec_ids, deterministic
-    * by construction so the DuckDB oracle replays it exactly. (At production
-    * scale the codebook comes from k-means — expressible as iterative
-    * DataFrame aggregations over a sample — but the scale-bearing dataflow
-    * this operator pins is ASSIGN + PROBE + RERANK, which is codebook-
-    * agnostic.)
+    * Codebook: `firstNCodebook` by default (deterministic by construction
+    * so the DuckDB oracle replays it exactly); pass
+    * `Some(kmeansCodebook(...))` for the trained production codebook — the
+    * scale-bearing dataflow this operator pins is ASSIGN + PROBE + RERANK,
+    * which is codebook-agnostic.
     *
     * Scale shape: the codebook is collected to ONE row and broadcast
     * (nlist·dims ints — ~64 MB at nlist 2¹⁶ × dims 128, broadcastable);
@@ -156,25 +227,14 @@ object Similarity {
     * it would otherwise produce sorts oppositely in Spark's ascending
     * array_sort (NaN last) and DuckDB's ORDER BY … DESC (NaN first). */
   def ivfTopK(embeddings: DataFrame, k: Int, probeMaxId: Long,
-              nlist: Int, nprobe: Int, spark: SparkSession): DataFrame = {
+              nlist: Int, nprobe: Int, spark: SparkSession,
+              codebookRows: Option[DataFrame] = None): DataFrame = {
     val q = quantized(embeddings)
-    val codebook = q.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cell"), col("q").as("cq"), col("norm2").as("cn"))
+    val codebook = codebookRows.getOrElse(firstNCodebook(q, nlist))
       .agg(array_sort(collect_list(struct(col("cell"), col("cq"), col("cn")))).as("cents"))
-    // (-cosine, cell) pairs order lexicographically = cosine desc, cell asc
-    def negCosCell(c: Column) = struct(
-      when(col("norm2") === 0 || c.getField("cn") === 0, lit(2.0))
-        .otherwise(lit(-1.0) * dotQ(col("q"), c.getField("cq")).cast("double") /
-          sqrt(col("norm2").cast("double") * c.getField("cn").cast("double")))
-        .as("negcos"),
-      c.getField("cell").cast("long").as("cell"))
     val withCents = q.crossJoin(broadcast(codebook))
     val assigned = withCents
-      .withColumn("cell",
-        aggregate(col("cents"),
-          struct(lit(Double.MaxValue).as("negcos"), lit(Long.MaxValue).as("cell")),
-          (acc, c) => { val cand = negCosCell(c); when(cand < acc, cand).otherwise(acc) })
-          .getField("cell"))
+      .withColumn("cell", nearestCell)
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("q").as("qb"), col("norm2").as("nb"))
     val probes = withCents.filter(col("vec_id") < probeMaxId)

@@ -178,6 +178,24 @@ class OpsSpec extends AnyFunSuite {
       s"expected exactly one Window (re-rank) in the IVF plan:\n$plan")
   }
 
+  test("k-means codebook: partition-invariant determinism, recall >= first-N seed") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    def dump(cb: org.apache.spark.sql.DataFrame) = cb.orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+    val trained = Similarity.kmeansCodebook(emb, SparkEntry.IvfNlist, 3, spark).cache()
+    // bit-identical under a different input partitioning AND on a re-run
+    assert(dump(trained) ==
+      dump(Similarity.kmeansCodebook(emb.repartition(7), SparkEntry.IvfNlist, 3, spark)))
+    assert(trained.count() == SparkEntry.IvfNlist) // empty cells kept
+    // Lloyd iterations must not lose recall vs the raw first-N seed
+    val bf = Similarity.bruteForceTopK(emb, 3, 20).select("query_id", "neighbor_id").cache()
+    def recall(cb: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.ivfTopK(emb, 3, 20, SparkEntry.IvfNlist, SparkEntry.IvfNprobe, spark, cb)
+        .select("query_id", "neighbor_id").intersect(bf).count().toDouble / bf.count()
+    val (seeded, kmeans) = (recall(None), recall(Some(trained)))
+    assert(kmeans >= seeded, s"k-means recall $kmeans < first-N $seeded")
+  }
+
   test("NA down-sampling: deterministic, positives kept, per-doc rescue") {
     import spark.implicits._
     val pairs = (for {
