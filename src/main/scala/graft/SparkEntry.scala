@@ -478,7 +478,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "q_frames" -> ((s, dir) =>
       ops.Multimodal.sampleFrames(ops.Corpora.normDocs(s, dir), 50, s)
-        .orderBy(col("doc_id"), col("frame_idx")))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+    // real-codec path: per-doc BMP payloads (dimensions derived from the
+    // text length) round-trip through the actual header parser; the oracle
+    // replays the BMP size arithmetic without parsing bytes
+    "q_media_bmp" -> ((s, dir) => {
+      import s.implicits._
+      val media = ops.Corpora.normDocs(s, dir)
+        .select(col("doc_id"), octet_length(col("text")).cast("int").as("n"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (id, n) =>
+          (id, ops.Multimodal.encodeBmp(n % 640 + 32, (n * 7) % 480 + 32))
+        })
+        .toDF("doc_id", "text") // withMedia's binary cast is identity here
+      ops.Multimodal.decodeMeta(media, s).toDF().orderBy(col("doc_id"))
+    })
   )
 
   /** Rebuild + load + resolve the reference-scale file dictionary (always
@@ -1429,13 +1443,24 @@ object SparkEntry {
 
     "q_multimodal" -> s"""
       WITH $normDocsCte
-      SELECT doc_id,
+      SELECT doc_id, 'raw' AS kind,
              CAST(strlen(text) AS INT) AS n_bytes,
              CAST(strlen(text) % 640 + 32 AS INT) AS width,
              CAST((strlen(text) * 7) % 480 + 32 AS INT) AS height,
              CAST(3 AS INT) AS channels,
              CAST(CASE WHEN strlen(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE -1 END AS INT) AS first_byte
       FROM norm_docs ORDER BY doc_id""",
+    "q_media_bmp" -> s"""
+      WITH $normDocsCte,
+      dims AS (
+        SELECT doc_id, CAST(strlen(text) % 640 + 32 AS INT) AS width,
+               CAST((strlen(text) * 7) % 480 + 32 AS INT) AS height
+        FROM norm_docs)
+      SELECT doc_id, 'bmp' AS kind,
+             CAST(54 + ((3 * width + 3) // 4) * 4 * height AS INT) AS n_bytes,
+             width, height, CAST(3 AS INT) AS channels,
+             CAST(66 AS INT) AS first_byte
+      FROM dims ORDER BY doc_id""",
     "q_frames" -> s"""
       WITH $normDocsCte
       SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 50 AS INT) AS frame_off,

@@ -363,6 +363,43 @@ class OpsSpec extends AnyFunSuite {
       s"LSH recall ${recalled.toDouble / nExact} below documented bound at 990 permille")
   }
 
+  test("BMP/WAV parsers decode hand-assembled golden bytes; text stays raw") {
+    import spark.implicits._
+    def meta(bytes: Array[Byte]): Multimodal.MediaMeta =
+      Multimodal.decodeMeta(Seq((1L, bytes)).toDF("doc_id", "text"), spark).head()
+    def fromHex(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // 2x2 24-bit BMP, 70 bytes, assembled offset by offset — independent of
+    // encodeBmp, so an encoder/decoder shared bug cannot self-verify
+    val bmp = fromHex(
+      "424d" + "46000000" + "00000000" + "36000000" + // BM, size 70, off 54
+      "28000000" + "02000000" + "02000000" +          // DIB 40, w 2, h 2
+      "0100" + "1800" + "00000000" + "10000000" +     // planes, 24bpp, raw, 16
+      "00000000" * 4 + "00" * 16)                     // resolutions/colors, pixels
+    val mb = meta(bmp)
+    assert((mb.kind, mb.n_bytes, mb.width, mb.height, mb.channels, mb.first_byte)
+      == (("bmp", 70, 2, 2, 3, 0x42)))
+    // canonical WAV header: stereo, 44100 Hz, 16-bit, 4 zero samples
+    val wav = fromHex(
+      "52494646" + "34000000" + "57415645" + "666d7420" + "10000000" +
+      "0100" + "0200" + "44ac0000" + "10b10200" + "0400" + "1000" +
+      "64617461" + "10000000" + "00" * 16)
+    val mw = meta(wav)
+    assert((mw.kind, mw.n_bytes, mw.width, mw.height, mw.channels)
+      == (("wav", 60, 44100, 16, 2)))
+    // our own encoders round-trip through the same parsers
+    val eb = meta(Multimodal.encodeBmp(17, 9))
+    assert((eb.kind, eb.width, eb.height, eb.n_bytes) == (("bmp", 17, 9, 54 + 52 * 9)))
+    val ew = meta(Multimodal.encodeWav(1, 8000, 8, 5))
+    assert((ew.kind, ew.width, ew.height, ew.channels, ew.n_bytes)
+      == (("wav", 8000, 8, 1, 49)))
+    // a text payload that merely STARTS with the magic stays on the stub
+    // path — the structural zero-byte pins cannot occur mid-text
+    val textBm = ("BM" + "x" * 100).getBytes("UTF-8")
+    assert(meta(textBm).kind == "raw")
+    assert(meta(("RIFFxxxxWAVEfmt " + "y" * 40).getBytes("UTF-8")).kind == "raw")
+  }
+
   test("multimodal kernel output matches metadata contract") {
     val meta = Multimodal.decodeMeta(docs, spark).toDF().cache()
     assert(meta.filter(col("width") < 32 || col("width") >= 672).count() == 0)
