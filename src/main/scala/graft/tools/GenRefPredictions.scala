@@ -58,7 +58,7 @@ object GenRefPredictions {
     spark.sparkContext.setLogLevel("WARN")
     try {
       gen(spark, "src/test/resources/docred_corpus.jsonl", "docred")
-      gen(spark, "src/test/resources/dwie_fixture.jsonl", "dwie")
+      gen(spark, "src/test/resources/dwie_corpus.jsonl", "dwie")
     } finally spark.stop()
   }
 

@@ -81,8 +81,12 @@ class ReferenceGateSpec extends AnyFunSuite {
   }
 
   test("DWIE gate: engine P/R >= 0.95 vs committed reference predictions") {
-    val (p, r, _, _) = gate("/dwie_fixture.jsonl", "dwie")
+    val (p, r, nPred, nCorrect) = gate("/dwie_corpus.jsonl", "dwie")
     assert(p >= 950, s"precision $p permille below the 950 gate")
     assert(r >= 950, s"recall $r permille below the 950 gate")
+    // same liveness bar as DocRED: the 60-doc DWIE-shaped corpus carries
+    // committed disagreement slices, so the gate measures < 1.0 agreement
+    assert(p < 1000 && nCorrect < nPred,
+      "fixture must contain reference/engine disagreements")
   }
 }
