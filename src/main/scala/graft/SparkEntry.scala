@@ -318,6 +318,21 @@ object SparkEntry {
       ops.TextAnalysis.winnowFingerprints(ops.Corpora.normDocs(s, dir), s)
         .distinct().orderBy(col("doc_id"), col("fingerprint"))),
 
+    // substring-level dedup: per-doc duplicated-span mass over the corpus
+    // with planted near-duplicates (fingerprint df >= 2 witnesses a shared
+    // substring of length >= w+k-1); no pairwise blowup, no cap needed
+    "q_dup_spans" -> ((s, dir) =>
+      ops.TextAnalysis.duplicateSpanStats(
+        ops.Corpora.withNearDups(ops.Corpora.normDocs(s, dir)), s)
+        .orderBy(col("doc_id"))),
+
+    // MOSS-style shared-span pair report (df-capped pair join)
+    "q_dup_span_pairs" -> ((s, dir) =>
+      ops.TextAnalysis.duplicateSpanPairs(
+        ops.Corpora.withNearDups(ops.Corpora.normDocs(s, dir)), s,
+        minShared = ops.TextAnalysis.MinSharedFpDemo)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // B4 char2id dictionary (char frequencies + dense ids, 0=BLANK 1=UNK)
     "q_char_vocab" -> ((s, dir) =>
       text.Vocab.buildChars(ops.Corpora.normDocs(s, dir))
@@ -1062,40 +1077,42 @@ object SparkEntry {
       SELECT doc_id, md5(text) AS md5, substring(md5(text), 1, 16) AS fp64
       FROM norm_docs ORDER BY doc_id""",
 
-    "q_winnow" -> {
-      import graft.ops.{TextAnalysis => TA}
-      val k = TA.WinnowK; val w = TA.WinnowW; val m = TA.WinnowM
-      val pows = TA.winnowPowMods.map(_.toString).mkString("[", ", ", "]")
-      s"""
+    "q_winnow" -> s"""
       WITH $normDocsCte,
-      longdocs AS (SELECT doc_id, text FROM norm_docs WHERE length(text) >= $k),
-      grams AS (
-        SELECT doc_id,
-               CAST(unnest(range(length(text) - ${k - 1})) AS BIGINT) AS g,
-               text
-        FROM longdocs),
-      hashes AS (
-        SELECT doc_id, g,
-               CAST(list_sum(list_transform(range($k), j ->
-                 CAST(unicode(substring(text, CAST(g + j + 1 AS INT), 1)) AS BIGINT)
-                   * ($pows)[CAST(j + 1 AS INT)])) % $m AS BIGINT) AS h
-        FROM grams),
-      ng AS (SELECT doc_id, COUNT(*) AS n FROM hashes GROUP BY 1),
-      small AS (
-        SELECT h.doc_id, MIN(h.h) AS fingerprint
-        FROM hashes h JOIN ng ON h.doc_id = ng.doc_id AND ng.n <= $w
-        GROUP BY 1),
-      big AS (
-        SELECT DISTINCT doc_id, fingerprint FROM (
-          SELECT h.doc_id, ng.n, h.g,
-                 MIN(h.h) OVER (PARTITION BY h.doc_id ORDER BY h.g
-                   ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fingerprint
-          FROM hashes h JOIN ng ON h.doc_id = ng.doc_id AND ng.n > $w) x
-        WHERE g <= n - $w)
-      SELECT doc_id, fingerprint FROM small
-      UNION ALL SELECT doc_id, fingerprint FROM big
-      ORDER BY 1, 2"""
-    },
+      ${winnowFpCtes("norm_docs")}
+      SELECT doc_id, fingerprint FROM fps
+      ORDER BY 1, 2""",
+
+    "q_dup_spans" -> s"""
+      WITH $normDocsCte,
+      $nearCorpusCte,
+      ${winnowFpCtes("near_corpus")},
+      fpdf AS (SELECT fingerprint, COUNT(*) AS df FROM fps GROUP BY 1)
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_fp,
+             CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_fp,
+             CAST((SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 1000)
+               // COUNT(*) AS BIGINT) AS dup_permille
+      FROM fps f JOIN fpdf d ON f.fingerprint = d.fingerprint
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_dup_span_pairs" -> s"""
+      WITH $normDocsCte,
+      $nearCorpusCte,
+      ${winnowFpCtes("near_corpus")},
+      kept AS (
+        SELECT f.doc_id, f.fingerprint
+        FROM fps f
+        JOIN (SELECT fingerprint, COUNT(*) AS df FROM fps GROUP BY 1) d
+          ON f.fingerprint = d.fingerprint
+         AND d.df <= ${graft.ops.Dedup.MaxBandDf})
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM kept a JOIN kept b
+        ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= ${graft.ops.TextAnalysis.MinSharedFpDemo}
+      ORDER BY 1, 2""",
 
     "q_char_vocab" -> s"""
       WITH $normDocsCte,
@@ -1490,6 +1507,43 @@ object SparkEntry {
       UNION ALL
       SELECT doc_id + 1000000, array_to_string(string_split(text, ' ')[4:], ' ')
       FROM norm_docs WHERE doc_id < 20 AND len(string_split(text, ' ')) >= 13)"""
+
+  /** The winnowing fingerprint set as CTEs over `srcRel(doc_id, text)` —
+    * replays the k-gram polynomial mod-M hash and the w-window min sweep
+    * from the shared TextAnalysis constants; ends in
+    * `fps(doc_id, fingerprint)` (distinct rows). */
+  private def winnowFpCtes(srcRel: String): String = {
+    import graft.ops.{TextAnalysis => TA}
+    val k = TA.WinnowK; val w = TA.WinnowW; val m = TA.WinnowM
+    val pows = TA.winnowPowMods.map(_.toString).mkString("[", ", ", "]")
+    s"""longdocs AS (SELECT doc_id, text FROM $srcRel WHERE length(text) >= $k),
+      grams AS (
+        SELECT doc_id,
+               CAST(unnest(range(length(text) - ${k - 1})) AS BIGINT) AS g,
+               text
+        FROM longdocs),
+      hashes AS (
+        SELECT doc_id, g,
+               CAST(list_sum(list_transform(range($k), j ->
+                 CAST(unicode(substring(text, CAST(g + j + 1 AS INT), 1)) AS BIGINT)
+                   * ($pows)[CAST(j + 1 AS INT)])) % $m AS BIGINT) AS h
+        FROM grams),
+      ng AS (SELECT doc_id, COUNT(*) AS n FROM hashes GROUP BY 1),
+      small AS (
+        SELECT h.doc_id, MIN(h.h) AS fingerprint
+        FROM hashes h JOIN ng ON h.doc_id = ng.doc_id AND ng.n <= $w
+        GROUP BY 1),
+      big AS (
+        SELECT DISTINCT doc_id, fingerprint FROM (
+          SELECT h.doc_id, ng.n, h.g,
+                 MIN(h.h) OVER (PARTITION BY h.doc_id ORDER BY h.g
+                   ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fingerprint
+          FROM hashes h JOIN ng ON h.doc_id = ng.doc_id AND ng.n > $w) x
+        WHERE g <= n - $w),
+      fps AS (
+        SELECT doc_id, fingerprint FROM small
+        UNION ALL SELECT doc_id, fingerprint FROM big)"""
+  }
 
   private def minhashCtes: String = {
     val k = graft.ops.Dedup.ShingleSize

@@ -119,4 +119,67 @@ object TextAnalysis {
       .flatMap { case (id, t) => winnow(t, k, w).map(id -> _) }
       .toDF("doc_id", "fingerprint")
   }
+
+  /** Cross-document duplicate-SPAN statistics — substring-level dedup (the
+    * class of filter that trims spans copied across pages, distinct from
+    * the whole/near-doc dedup family), re-expressed on winnowing
+    * fingerprints instead of a suffix array: a fingerprint appearing in
+    * ≥ 2 documents witnesses a shared substring of length ≥ w + k − 1 (the
+    * winnowing guarantee above), so the fraction of a document's distinct
+    * fingerprints that recur in other documents is the decision statistic
+    * a span-trim / doc-drop filter consumes.
+    *
+    * Output: (doc_id, n_fp, n_dup_fp, dup_permille) — integer permille via
+    * long division, bit-reproducible.
+    *
+    * Scale shape: two hash-partitioned aggregations (per-fingerprint df,
+    * per-doc counts) and one equi-join on the fingerprint — NO pairwise
+    * blowup anywhere, so unlike the pair ops no df cap is required: a
+    * boilerplate fingerprint shared by 10^6 docs contributes one df row
+    * and 10^6 join rows, linear in input size. */
+  def duplicateSpanStats(docs: DataFrame, spark: SparkSession,
+                         k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+    val fps = winnowFingerprints(docs, spark, k, w).distinct()
+    val df = fps.groupBy("fingerprint")
+      .agg(count(lit(1)).as("df"))
+    fps.join(df, "fingerprint")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_fp"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_fp"))
+      // `div`, not `/`: Spark's / on longs is DOUBLE division; the oracle
+      // (and the fixed-point contract) needs exact integral permille
+      .withColumn("dup_permille", expr("(n_dup_fp * 1000) div n_fp"))
+  }
+
+  /** Document pairs ranked by shared winnowing fingerprints (the MOSS-style
+    * overlap report): (doc_a, doc_b, n_shared) for pairs sharing at least
+    * `minShared` fingerprints. This one IS pairwise, so the band-cap
+    * discipline applies: fingerprints with df > maxDf (site boilerplate
+    * shared by everyone) are dropped from the pair join — both sides,
+    * conservative for recall exactly like `Dedup.lshCandidates` — while
+    * `duplicateSpanStats` above still counts them as duplicated mass. */
+  /** Demo-query pair threshold: ≥ 8 shared fingerprints ≈ sustained copied
+    * text, not two coincidentally shared phrases (the synthetic corpus
+    * repeats short phrases heavily; real pipelines tune this). Shared with
+    * the DuckDB oracle. */
+  val MinSharedFpDemo = 8
+
+  def duplicateSpanPairs(docs: DataFrame, spark: SparkSession,
+                         minShared: Int = 2,
+                         maxDf: Int = Dedup.MaxBandDf,
+                         k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowFingerprints(docs, spark, k, w).distinct()
+    val kept = fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fingerprint")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    val a = kept.select(col("fingerprint"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("fingerprint"), col("doc_id").as("doc_b"))
+    a.join(b, "fingerprint")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

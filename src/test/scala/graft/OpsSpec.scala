@@ -292,6 +292,36 @@ class OpsSpec extends AnyFunSuite {
       "rolling-hash kernel must equal the direct codepoint polynomial")
   }
 
+  test("duplicate-span stats: planted shared spans found, unique docs report zero") {
+    import spark.implicits._
+    // synthetic: a & b share a long span (>= w+k-1 chars), c is unique
+    val shared = "the quick brown fox jumps over the lazy dog near the river"
+    val tiny = Seq(
+      (1L, "prefix one " + shared),
+      (2L, "another opening here " + shared),
+      (3L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo")
+    ).toDF("doc_id", "text")
+    val st = TextAnalysis.duplicateSpanStats(tiny, spark)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(st(1L)._2 > 0 && st(2L)._2 > 0, "shared span must be detected")
+    assert(st(3L)._2 == 0 && st(3L)._3 == 0, "unique doc must report zero")
+    // the planted near-copies (full-text-minus-3-tokens overlap) surface in
+    // both the per-doc mass and the pair report on the engine corpus
+    val corpus = Corpora.withNearDups(docs)
+    val stats = TextAnalysis.duplicateSpanStats(corpus, spark).cache()
+    val planted = stats.filter(col("doc_id") >= 1000000L).cache()
+    assert(planted.count() > 0)
+    assert(planted.filter(col("dup_permille") === 0).count() == 0,
+      "every planted copy must carry duplicated span mass")
+    assert(stats.filter(col("dup_permille") > lit(1000)).count() == 0)
+    val pairs = TextAnalysis.duplicateSpanPairs(corpus, spark)
+    val hits = pairs.filter(col("doc_b") === col("doc_a") + 1000000L).count()
+    assert(hits == planted.count(),
+      "each planted (original, copy) pair must appear in the pair report")
+    planted.unpersist(); stats.unpersist()
+  }
+
   test("IVF: zero-norm vectors/centroids are NaN-free and match an independent twin") {
     import spark.implicits._
     // 10 vectors, dims 4; vec 1 is a ZERO CENTROID (nlist 4), vec 7 a zero
