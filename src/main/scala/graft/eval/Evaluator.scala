@@ -85,7 +85,9 @@ object Evaluator {
     // corpus-scale inputs loudly instead of silently single-threading them;
     // the distributed twin (thetaSweepBinned, ≤1‰ agreement) is the
     // corpus-scale path. limit(n+1) stops the probe scan early.
-    val probe = scored.limit((maxRows + 1).toInt).count()
+    // clamp: limit() takes an Int — a caller-supplied ceiling near Long.Max
+    // must not overflow into a negative limit
+    val probe = scored.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
     require(probe <= maxRows,
       s"thetaSweep: input exceeds $maxRows rows — the exact sweep is a " +
         "single-partition funnel; use thetaSweepBinned for corpus-scale frames")
