@@ -103,10 +103,19 @@ object TextAnalysis {
       if (i >= k - 1) hashes(i - k + 1) = h
     }
     if (hashes.length <= w) return Seq(hashes.min).distinct
-    // min per window, keep rightmost-min rule, dedup consecutive picks
+    // min per window via a monotonic index deque: O(n) total instead of the
+    // naive O(n·w) slice-per-window (and zero per-window allocation) —
+    // emits the same min sequence, deduped in first-seen order
     val out = scala.collection.mutable.LinkedHashSet[Long]()
-    for (start <- 0 to hashes.length - w) {
-      out += hashes.slice(start, start + w).min
+    val deque = new java.util.ArrayDeque[Int]()
+    var i = 0
+    while (i < hashes.length) {
+      while (!deque.isEmpty && hashes(deque.peekLast) >= hashes(i))
+        deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst <= i - w) deque.pollFirst()
+      if (i >= w - 1) out += hashes(deque.peekFirst)
+      i += 1
     }
     out.toSeq
   }
@@ -139,10 +148,12 @@ object TextAnalysis {
     * and 10^6 join rows, linear in input size. */
   def duplicateSpanStats(docs: DataFrame, spark: SparkSession,
                          k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
-    val fps = winnowFingerprints(docs, spark, k, w).distinct()
-    val df = fps.groupBy("fingerprint")
-      .agg(count(lit(1)).as("df"))
-    fps.join(df, "fingerprint")
+    import org.apache.spark.sql.expressions.Window
+    // single pass: a count-window over the fingerprint partitioning gives
+    // each row its df without a second winnow pass (a groupBy+self-join
+    // would recompute the whole fingerprint pipeline for the build side)
+    winnowFingerprints(docs, spark, k, w).distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fingerprint")))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_fp"),
@@ -169,16 +180,19 @@ object TextAnalysis {
                          minShared: Int = 2,
                          maxDf: Int = Dedup.MaxBandDf,
                          k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val fps = winnowFingerprints(docs, spark, k, w).distinct()
-    val kept = fps
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("fingerprint")))
-      .filter(col("df") <= maxDf)
-      .drop("df")
-    val a = kept.select(col("fingerprint"), col("doc_id").as("doc_a"))
-    val b = kept.select(col("fingerprint"), col("doc_id").as("doc_b"))
-    a.join(b, "fingerprint")
-      .filter(col("doc_a") < col("doc_b"))
+    // one shuffle, no self-join: bucket the doc-list per fingerprint (the
+    // df cap bounds the list at maxDf), then emit the doc pairs IN-ROW —
+    // a self-join here would recompute the whole winnow pipeline for the
+    // second branch and shuffle both
+    winnowFingerprints(docs, spark, k, w).distinct()
+      .groupBy("fingerprint")
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, maxDf))
+      .select(explode(expr(
+        """flatten(transform(docs, (a, i) ->
+             transform(slice(docs, i + 2, size(docs) - i - 1), b ->
+               struct(a AS doc_a, b AS doc_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
