@@ -1106,7 +1106,7 @@ object SparkEntry {
         FROM fps f
         JOIN (SELECT fingerprint, COUNT(*) AS df FROM fps GROUP BY 1) d
           ON f.fingerprint = d.fingerprint
-         AND d.df <= ${graft.ops.Dedup.MaxBandDf})
+         AND d.df <= ${graft.ops.TextAnalysis.MaxFingerprintDf})
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS n_shared
       FROM kept a JOIN kept b

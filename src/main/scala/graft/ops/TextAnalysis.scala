@@ -176,9 +176,19 @@ object TextAnalysis {
     * the DuckDB oracle. */
   val MinSharedFpDemo = 8
 
+  /** Fingerprint-df ceiling for the pair join. Much tighter than the
+    * generic band cap on purpose: a fingerprint present in >100 documents
+    * is boilerplate (the winnowing/MOSS practice is to DISCARD over-common
+    * fingerprints — they carry no duplication signal), and its C(df,2)
+    * pair mass would dominate the join: on the sf0.1 corpus the df≤1000
+    * tail is 51.8M pair rows, the df≤100 tail 0.98M. Per-doc duplicated
+    * MASS (duplicateSpanStats) still counts boilerplate — only pairing
+    * ignores it. */
+  val MaxFingerprintDf = 100
+
   def duplicateSpanPairs(docs: DataFrame, spark: SparkSession,
                          minShared: Int = 2,
-                         maxDf: Int = Dedup.MaxBandDf,
+                         maxDf: Int = MaxFingerprintDf,
                          k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
     // one shuffle, no self-join: bucket the doc-list per fingerprint (the
     // df cap bounds the list at maxDf), then emit the doc pairs IN-ROW —
