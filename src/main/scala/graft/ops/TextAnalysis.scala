@@ -190,14 +190,20 @@ object TextAnalysis {
                          minShared: Int = 2,
                          maxDf: Int = MaxFingerprintDf,
                          k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
-    // one shuffle, no self-join: bucket the doc-list per fingerprint (the
-    // df cap bounds the list at maxDf), then emit the doc pairs IN-ROW —
-    // a self-join here would recompute the whole winnow pipeline for the
-    // second branch and shuffle both
+    // one shuffle, no self-join: bucket the doc-list per fingerprint, then
+    // emit the doc pairs IN-ROW — a self-join here would recompute the
+    // whole winnow pipeline for the second branch and shuffle both.
+    // BoundedCollect, not collect_list: collect_list materializes the FULL
+    // group in one on-heap agg buffer before the size filter can drop it
+    // (a df=10^9 boilerplate fingerprint = OOM); the bounded aggregator
+    // caps every partial buffer at maxDf+1, so over-cap groups surface as
+    // maxDf+1-sized arrays and die in the same size filter
+    val bounded = udaf(new graft.functions.BoundedCollect(maxDf))
     winnowFingerprints(docs, spark, k, w).distinct()
       .groupBy("fingerprint")
-      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .agg(bounded(col("doc_id")).as("docs"))
       .filter(size(col("docs")).between(2, maxDf))
+      .withColumn("docs", array_sort(col("docs")))
       .select(explode(expr(
         """flatten(transform(docs, (a, i) ->
              transform(slice(docs, i + 2, size(docs) - i - 1), b ->

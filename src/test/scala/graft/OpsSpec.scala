@@ -292,6 +292,28 @@ class OpsSpec extends AnyFunSuite {
       "rolling-hash kernel must equal the direct codepoint polynomial")
   }
 
+  test("BoundedCollect: matches collect_list under the cap, over-cap groups droppable") {
+    import spark.implicits._
+    import graft.functions.BoundedCollect
+    val cap = 100
+    // a 5000-member hot group (the OOM class for collect_list at web df),
+    // plus two sane groups, spread over partitions to exercise merge()
+    val rows = (0 until 5000).map(i => ("hot", i.toLong)) ++
+      Seq(("a", 1L), ("a", 2L), ("b", 7L))
+    val df = rows.toDF("key", "v").repartition(16)
+    val bounded = udaf(new BoundedCollect(cap))
+    val out = df.groupBy("key").agg(bounded(col("v")).as("vs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out("a").toSet == Set(1L, 2L) && out("b") == Seq(7L),
+      "under-cap groups must collect exactly their elements")
+    assert(out("hot").size == cap + 1,
+      "over-cap group must surface as cap+1 elements (the drop signal)")
+    // the pair op's filter semantics: hot dropped, sane kept
+    val kept = df.groupBy("key").agg(bounded(col("v")).as("vs"))
+      .filter(size(col("vs")).between(2, cap)).collect().map(_.getString(0))
+    assert(kept.toSeq == Seq("a"))
+  }
+
   test("duplicate-span stats: planted shared spans found, unique docs report zero") {
     import spark.implicits._
     // synthetic: a & b share a long span (>= w+k-1 chars), c is unique
