@@ -326,6 +326,18 @@ object SparkEntry {
         ops.Corpora.withNearDups(ops.Corpora.normDocs(s, dir)), s)
         .orderBy(col("doc_id"))),
 
+    // Gopher-class within-doc repetition stats (duplicate-token mass +
+    // most-frequent-2-gram mass, integer permille)
+    "q_repetition" -> ((s, dir) =>
+      ops.TextAnalysis.repetitionStats(ops.Corpora.normDocs(s, dir), s)
+        .orderBy(col("doc_id"))),
+
+    // PII detect + scrub over the corpus with planted PII rows
+    "q_pii" -> ((s, dir) =>
+      ops.TextAnalysis.piiStats(
+        ops.Corpora.withPii(ops.Corpora.normDocs(s, dir), s))
+        .orderBy(col("doc_id"))),
+
     // MOSS-style shared-span pair report (df-capped pair join)
     "q_dup_span_pairs" -> ((s, dir) =>
       ops.TextAnalysis.duplicateSpanPairs(
@@ -1096,6 +1108,50 @@ object SparkEntry {
                // COUNT(*) AS BIGINT) AS dup_permille
       FROM fps f JOIN fpdf d ON f.fingerprint = d.fingerprint
       GROUP BY 1 ORDER BY 1""",
+
+    "q_repetition" -> s"""
+      WITH $normDocsCte,
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM norm_docs),
+      base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+                      CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+               FROM t),
+      grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        FROM t WHERE len(toks) >= 2),
+      gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+      gt AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_gram,
+                    CAST(SUM(c) AS BIGINT) AS n_grams
+             FROM gc GROUP BY 1)
+      SELECT b.doc_id, b.n_toks, b.n_distinct,
+             ((b.n_toks - b.n_distinct) * 1000) // b.n_toks AS dup_tok_permille,
+             COALESCE(g.n_grams, 0) AS n_grams,
+             COALESCE(g.max_gram, 0) AS max_gram,
+             COALESCE((g.max_gram * 1000) // g.n_grams, 0) AS top_gram_permille
+      FROM base b LEFT JOIN gt g ON b.doc_id = g.doc_id
+      ORDER BY b.doc_id""",
+
+    "q_pii" -> {
+      import graft.ops.{TextAnalysis => TA}
+      val piiValues = graft.ops.Corpora.piiDocs
+        .map { case (id, t) => s"($id, '$t')" }.mkString(",\n        ")
+      s"""
+      WITH $normDocsCte,
+      pii_corpus AS (
+        SELECT doc_id, text FROM norm_docs
+        UNION ALL SELECT * FROM (VALUES
+        $piiValues) v(doc_id, text))
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '${TA.PiiEmail}')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(text, '${TA.PiiPhone}')) AS BIGINT) AS n_phone,
+        CAST(len(regexp_extract_all(text, '${TA.PiiIpv4}')) AS BIGINT) AS n_ipv4,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '${TA.PiiEmail}', '<EMAIL>', 'g'),
+          '${TA.PiiPhone}', '<PHONE>', 'g'),
+          '${TA.PiiIpv4}', '<IP>', 'g') AS scrubbed
+      FROM pii_corpus ORDER BY doc_id"""
+    },
 
     "q_dup_span_pairs" -> s"""
       WITH $normDocsCte,

@@ -35,6 +35,21 @@ object Corpora {
             expr("transform(embedding, (x, i) -> CAST(CASE WHEN i = 0 THEN x + 0.001 ELSE x END AS FLOAT))")
               .as("embedding")))
 
+  /** Deterministic PII-bearing rows (planted positives for the scrubber) —
+    * mirrored verbatim into the q_pii oracle CTE. */
+  val piiDocs: Seq[(Long, String)] = Seq(
+    (2000000L, "contact alice@example.com or bob.smith+tag@mail.co for details"),
+    (2000001L, "call +1 555-123-4567 or +44 020-794-0000 now"),
+    (2000002L, "server at 192.168.0.1 and 10.0.0.255 responded"),
+    (2000003L, "mixed carol@corp.io on 172.16.254.3 dial +1 650-253-0000"),
+    (2000004L, "no personal data in this row at all"))
+
+  /** + the planted PII rows. */
+  def withPii(docs: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.union(piiDocs.toDF("doc_id", "text"))
+  }
+
   /** + near copies (first 3 tokens dropped) of docs 0..19. */
   def withNearDups(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")

@@ -129,6 +129,69 @@ object TextAnalysis {
       .toDF("doc_id", "fingerprint")
   }
 
+  /** PII patterns — deliberately STRICT, deterministic formats (simple
+    * character classes + bounded repeats only) whose semantics are
+    * identical in Java regex (Spark codegen'd RegExpReplace/Count) and
+    * RE2 (the DuckDB oracle). Production pipelines widen these; the
+    * operator shape — count + ordered scrub, all column expressions —
+    * is the part that scales. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val PiiIpv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Per-doc PII detection counts + the scrubbed text (email → phone → ip
+    * replacement order, fixed placeholders). Pure column expressions:
+    * whole-stage codegen, zero shuffle, trivially 100 TB-safe. */
+  def piiStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(PiiEmail)).cast("long").as("n_email"),
+      regexp_count(col("text"), lit(PiiPhone)).cast("long").as("n_phone"),
+      regexp_count(col("text"), lit(PiiIpv4)).cast("long").as("n_ipv4"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), PiiEmail, "<EMAIL>"),
+          PiiPhone, "<PHONE>"),
+        PiiIpv4, "<IP>").as("scrubbed"))
+
+  /** WITHIN-document repetition statistics (the Gopher/MassiveText
+    * repetition-removal family): duplicate-token mass and the mass of the
+    * single most frequent word 2-gram, both integer permille. High values
+    * flag degenerate/boilerplate pages (keyword stuffing, navigation
+    * spam) that length/stopword heuristics miss.
+    *
+    * Scale shape: the 2-gram counting shuffles on (doc_id, gram) — a
+    * map-side-combinable hash aggregation keyed by the doc, so partitions
+    * stay balanced regardless of corpus size; everything else is in-row. */
+  def repetitionStats(docs: DataFrame, spark: SparkSession): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = docs.select(
+      col("doc_id"),
+      size(toks).as("n_toks"),
+      size(array_distinct(toks)).as("n_distinct"),
+      // word 2-grams: zip the tokens with their successors
+      expr("""zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+                       slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+                       (a, b) -> concat(a, ' ', b))""").as("grams"))
+    val gramTop = base
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("max_gram"),
+        sum(col("c")).as("n_grams"))
+    base.drop("grams")
+      .join(gramTop, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_toks").cast("long").as("n_toks"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        expr("CAST((n_toks - n_distinct) * 1000 AS BIGINT) div n_toks")
+          .as("dup_tok_permille"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("max_gram"), lit(0L)).as("max_gram"),
+        coalesce(expr("(max_gram * 1000) div n_grams"), lit(0L))
+          .as("top_gram_permille"))
+  }
+
   /** Cross-document duplicate-SPAN statistics — substring-level dedup (the
     * class of filter that trims spans copied across pages, distinct from
     * the whole/near-doc dedup family), re-expressed on winnowing

@@ -292,6 +292,36 @@ class OpsSpec extends AnyFunSuite {
       "rolling-hash kernel must equal the direct codepoint polynomial")
   }
 
+  test("PII scrub: planted emails/phones/ips counted and replaced, clean rows untouched") {
+    import spark.implicits._
+    val out = TextAnalysis.piiStats(Corpora.piiDocs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(2000000L)._1 == 2 && out(2000000L)._4 ==
+      "contact <EMAIL> or <EMAIL> for details")
+    assert(out(2000001L)._2 == 2 && out(2000001L)._4 == "call <PHONE> or <PHONE> now")
+    assert(out(2000002L)._3 == 2 && out(2000002L)._4 == "server at <IP> and <IP> responded")
+    assert(out(2000003L) == ((1L, 1L, 1L, "mixed <EMAIL> on <IP> dial <PHONE>")))
+    assert(out(2000004L) == ((0L, 0L, 0L, "no personal data in this row at all")))
+  }
+
+  test("repetition stats: degenerate repeated text scores high, varied text low") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),      // one dominant 2-gram
+      (2L, "alpha bravo charlie delta echo foxtrot golf"),  // all distinct
+      (3L, "word")                                          // no 2-grams at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(tiny, spark)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // doc 1: 10 toks, 2 distinct -> 800 permille dup; 9 grams, "now buy" x4
+    // and "buy now" x5 -> top gram 5/9 = 555 permille
+    assert(out(1L) == ((800L, 9L, 5L, 555L)))
+    assert(out(2L) == ((0L, 6L, 1L, 166L)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L)))
+  }
+
   test("BoundedCollect: matches collect_list under the cap, over-cap groups droppable") {
     import spark.implicits._
     import graft.functions.BoundedCollect
