@@ -85,24 +85,11 @@ object Dedup {
     * shingle cap's conservative Jaccard; a pair that also shares any sane
     * bucket still surfaces. The DuckDB oracle applies the identical cap. */
   def lshCandidates(bands: DataFrame, maxBandDf: Int = MaxBandDf): DataFrame = {
-    // bucket + in-row pair emission, not a self-join: the join form
-    // recomputes the whole minhash pipeline for its second branch (bands
-    // arrives uncached) and shuffles both sides; one bounded-buffer
-    // aggregation does it in a single pass. BoundedCollect caps every
-    // partial agg buffer at maxBandDf+1, so a degenerate bucket (all-equal
-    // boilerplate signatures) can never materialize its full doc list —
-    // it surfaces as maxBandDf+1 rows and dies in the size filter, the
-    // same DROP the windowed-count form applied.
-    val bounded = udaf(new graft.functions.BoundedCollect(maxBandDf))
-    bands.groupBy("band", "band_sig")
-      .agg(bounded(col("doc_id")).as("docs"))
-      .filter(size(col("docs")).between(2, maxBandDf))
-      .withColumn("docs", array_sort(col("docs")))
-      .select(explode(expr(
-        """flatten(transform(docs, (a, i) ->
-             transform(slice(docs, i + 2, size(docs) - i - 1), b ->
-               struct(a AS doc_a, b AS doc_b))))""")).as("p"))
-      .select("p.doc_a", "p.doc_b").distinct()
+    // bounded-buffer bucket + in-row pair emission (shared Buckets shape):
+    // a degenerate bucket (all-equal boilerplate signatures) can never
+    // materialize its full doc list — it dies in the size filter, the same
+    // DROP the earlier windowed-count form applied
+    Buckets.pairsWithin(bands, Seq("band", "band_sig"), "doc_id", maxBandDf)
   }
 
   /** Exact n-gram Jaccard over shingle sets, integer permille, for pairs

@@ -280,12 +280,12 @@ object Similarity {
                      bands: Int, bitsPerBand: Int, spark: SparkSession,
                      maxBandDf: Int = MaxBandDf): DataFrame = {
     val q = quantized(embeddings)
-    val sk = cappedBuckets(bandSketches(embeddings, bands, bitsPerBand, spark),
-      maxBandDf)
-    val pairIds = sk.select(col("vec_id").as("doc_a"), col("band"), col("sig"))
-      .join(sk.select(col("vec_id").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // bounded-buffer bucket + in-row pair emission (shared Buckets shape):
+    // no sketch recompute for a second join branch, no full bucket
+    // materialization — over-cap buckets drop exactly as cappedBuckets did
+    val pairIds = Buckets.pairsWithin(
+      bandSketches(embeddings, bands, bitsPerBand, spark),
+      Seq("band", "sig"), "vec_id", maxBandDf)
     pairIds
       .join(q.select(col("vec_id").as("doc_a"), col("q").as("qa"), col("norm2").as("na")), "doc_a")
       .join(q.select(col("vec_id").as("doc_b"), col("q").as("qb"), col("norm2").as("nb")), "doc_b")

@@ -253,25 +253,12 @@ object TextAnalysis {
                          minShared: Int = 2,
                          maxDf: Int = MaxFingerprintDf,
                          k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
-    // one shuffle, no self-join: bucket the doc-list per fingerprint, then
-    // emit the doc pairs IN-ROW — a self-join here would recompute the
-    // whole winnow pipeline for the second branch and shuffle both.
-    // BoundedCollect, not collect_list: collect_list materializes the FULL
-    // group in one on-heap agg buffer before the size filter can drop it
-    // (a df=10^9 boilerplate fingerprint = OOM); the bounded aggregator
-    // caps every partial buffer at maxDf+1, so over-cap groups surface as
-    // maxDf+1-sized arrays and die in the same size filter
-    val bounded = udaf(new graft.functions.BoundedCollect(maxDf))
-    winnowFingerprints(docs, spark, k, w).distinct()
-      .groupBy("fingerprint")
-      .agg(bounded(col("doc_id")).as("docs"))
-      .filter(size(col("docs")).between(2, maxDf))
-      .withColumn("docs", array_sort(col("docs")))
-      .select(explode(expr(
-        """flatten(transform(docs, (a, i) ->
-             transform(slice(docs, i + 2, size(docs) - i - 1), b ->
-               struct(a AS doc_a, b AS doc_b))))""")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+    // bounded-buffer bucket + in-row pair emission (shared Buckets shape):
+    // one shuffle, no self-join (which would recompute the whole winnow
+    // pipeline for its second branch), and a df=10^9 boilerplate
+    // fingerprint can never materialize its full doc list
+    Buckets.pairsWithin(winnowFingerprints(docs, spark, k, w).distinct(),
+        Seq("fingerprint"), "doc_id", maxDf, dedup = false)
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
