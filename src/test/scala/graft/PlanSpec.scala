@@ -31,6 +31,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
   }
 
+  test("PII scrub is a zero-shuffle codegen projection (no UDFs)") {
+    // parquet-backed input: a local literal frame constant-folds the whole
+    // projection into a LocalTableScan and hides the plan under test
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plan = planOf(ops.TextAnalysis.piiStats(docs))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"PII ops must be native regexp expressions:\n$plan")
+    // "*(n)" is the whole-stage-codegen marker in executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"not codegen'd:\n$plan")
+  }
+
+  test("bounded bucket-pair emission shuffles exactly once before the pairs") {
+    import spark.implicits._
+    val rows = Seq((1L, "k1"), (2L, "k1"), (3L, "k2"), (4L, "k2"), (5L, "k2"))
+      .toDF("doc_id", "key")
+    val plan = planOf(
+      ops.Buckets.pairsWithin(rows, Seq("key"), "doc_id", 10, dedup = false))
+    // one Exchange: the bucket aggregation; the pair explode is in-row
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"pair emission must not be a join:\n$plan")
+  }
+
   test("text-analysis pipeline is a pure projection chain — no UDFs, no shuffles") {
     import spark.implicits._
     // hermetic in-memory input: other suites cache the parquet corpus, which
