@@ -326,6 +326,18 @@ object SparkEntry {
         ops.Corpora.withNearDups(ops.Corpora.normDocs(s, dir)), s)
         .orderBy(col("doc_id"))),
 
+    // sliding-window token chunking (training/RAG sequence preparation)
+    "q_chunks" -> ((s, dir) =>
+      ops.TextAnalysis.chunkTokens(ops.Corpora.normDocs(s, dir))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // per-source quota sampling (domain balancing, deterministic hash keep)
+    "q_quota" -> ((s, dir) =>
+      ops.Sampling.capPerKey(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source"), "source", "doc_id", 10)
+        .orderBy(col("source"), col("doc_id"))),
+
     // Gopher-class within-doc repetition stats (duplicate-token mass +
     // most-frequent-2-gram mass, integer permille)
     "q_repetition" -> ((s, dir) =>
@@ -1108,6 +1120,40 @@ object SparkEntry {
                // COUNT(*) AS BIGINT) AS dup_permille
       FROM fps f JOIN fpdf d ON f.fingerprint = d.fingerprint
       GROUP BY 1 ORDER BY 1""",
+
+    "q_chunks" -> {
+      import graft.ops.{TextAnalysis => TA}
+      val mx = TA.ChunkMaxTokens; val st = TA.ChunkMaxTokens - TA.ChunkOverlap
+      s"""
+      WITH $normDocsCte,
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM norm_docs),
+      c AS (SELECT doc_id, toks, n,
+                   CASE WHEN n <= $mx THEN 1
+                        ELSE 1 + (n - $mx + $st - 1) // $st END AS n_chunks
+            FROM t),
+      e AS (SELECT doc_id, CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_id,
+                   toks, n
+            FROM c)
+      SELECT doc_id, chunk_id,
+             CAST(len(toks[CAST(chunk_id * $st + 1 AS INT) :
+                          CAST(chunk_id * $st + $mx AS INT)]) AS BIGINT)
+               AS n_tokens,
+             array_to_string(toks[CAST(chunk_id * $st + 1 AS INT) :
+                                  CAST(chunk_id * $st + $mx AS INT)], ' ')
+               AS chunk_text
+      FROM e ORDER BY doc_id, chunk_id"""
+    },
+
+    "q_quota" -> """
+      WITH keyed AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(source || '|' || doc_id::VARCHAR), doc_id) AS rk
+        FROM documents)
+      SELECT doc_id, source FROM keyed WHERE rk <= 10
+      ORDER BY source, doc_id""",
 
     "q_repetition" -> s"""
       WITH $normDocsCte,

@@ -41,4 +41,23 @@ object Sampling {
       .unionByName(rescue)
       .drop("_h")
   }
+
+  /** Per-key quota sampling (domain balancing — cap the documents any one
+    * source/domain contributes to a training mix): keep the `n` rows per
+    * key with the smallest md5(key|id), a deterministic pseudo-random
+    * choice that is invariant under partitioning, retries, and engine
+    * (the same argument as [[downsampleNa]]'s content-hash keep).
+    *
+    * Scale shape: one shuffle on the key + a per-key sort; a hot key sorts
+    * all its rows in one spillable window partition — for keys at 10^8+
+    * rows, pre-filter with an approximate per-key count and a coarser hash
+    * band before the exact window. */
+  def capPerKey(df: DataFrame, key: String, id: String, n: Int): DataFrame = {
+    require(n >= 1, s"capPerKey: n must be >= 1, got $n")
+    val w = Window.partitionBy(col(key))
+      .orderBy(md5(concat_ws("|", col(key), col(id)).cast("binary")), col(id))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n)
+      .drop("_rk")
+  }
 }

@@ -129,6 +129,36 @@ object TextAnalysis {
       .toDF("doc_id", "fingerprint")
   }
 
+  /** Chunking window for the demo query, shared with the DuckDB oracle. */
+  val ChunkMaxTokens = 64
+  val ChunkOverlap = 16
+
+  /** Sliding-window token chunking (training/RAG sequence preparation):
+    * split each document into chunks of at most `maxTokens` whitespace
+    * tokens with `overlap` tokens carried between consecutive chunks.
+    * Chunk starts advance by `maxTokens − overlap`; every document emits
+    * at least one chunk. Pure in-row generation (sequence + explode +
+    * slice) — zero shuffle, output order (doc_id, chunk_id). */
+  def chunkTokens(docs: DataFrame, maxTokens: Int = ChunkMaxTokens,
+                  overlap: Int = ChunkOverlap): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"chunkTokens: need 0 <= overlap < maxTokens, got ($maxTokens, $overlap)")
+    val stride = maxTokens - overlap
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      // integer ceil: one chunk for n <= max, then one per started stride
+      .withColumn("n_chunks", expr(
+        s"CASE WHEN n <= $maxTokens THEN 1L ELSE 1L + (n - $maxTokens + $stride - 1) div $stride END"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
+      .withColumn("chunk",
+        expr(s"slice(toks, CAST(chunk_id * $stride + 1 AS INT), $maxTokens)"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
   /** PII patterns — deliberately STRICT, deterministic formats (simple
     * character classes + bounded repeats only) whose semantics are
     * identical in Java regex (Spark codegen'd RegExpReplace/Count) and

@@ -292,6 +292,38 @@ class OpsSpec extends AnyFunSuite {
       "rolling-hash kernel must equal the direct codepoint polynomial")
   }
 
+  test("token chunking: chunk count, size bound, overlap carry, full coverage") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, (1 to 150).map(i => s"t$i").mkString(" ")),
+      (2L, "short doc")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(tiny, maxTokens = 64, overlap = 16).collect()
+    val c1 = out.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    assert(c1.length == 3, "150 tokens at stride 48 -> starts 0/48/96")
+    assert(c1.forall(_.getLong(2) <= 64))
+    val texts = c1.map(_.getString(3).split(" "))
+    assert(texts(0).takeRight(16).sameElements(texts(1).take(16)),
+      "consecutive chunks must share the overlap window")
+    assert(texts.flatten.toSet == (1 to 150).map(i => s"t$i").toSet,
+      "every token must land in some chunk")
+    val c2 = out.filter(_.getLong(0) == 2L)
+    assert(c2.length == 1 && c2.head.getString(3) == "short doc")
+  }
+
+  test("per-key quota: at most n per key, partition-invariant selection") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source")
+    val a = Sampling.capPerKey(d, "source", "doc_id", 2).cache()
+    assert(a.groupBy("source").count().filter(col("count") > 2).count() == 0)
+    // keys with <= n rows keep everything
+    val small = d.groupBy("source").count().filter(col("count") <= 2).count()
+    assert(a.count() >= small)
+    // the hash keep is a property of content, not layout
+    val b = Sampling.capPerKey(d.repartition(13), "source", "doc_id", 2)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    a.unpersist()
+  }
+
   test("PII scrub: planted emails/phones/ips counted and replaced, clean rows untouched") {
     import spark.implicits._
     val out = TextAnalysis.piiStats(Corpora.piiDocs.toDF("doc_id", "text"))
