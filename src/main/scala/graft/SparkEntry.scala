@@ -326,6 +326,11 @@ object SparkEntry {
         ops.Corpora.withNearDups(ops.Corpora.normDocs(s, dir)), s)
         .orderBy(col("doc_id"))),
 
+    // next-fit sequence packing into fixed-token-budget bins
+    "q_packing" -> ((s, dir) =>
+      ops.TextAnalysis.packSequences(ops.Corpora.normDocs(s, dir), s)
+        .orderBy(col("range_id"), col("doc_id"))),
+
     // sliding-window token chunking (training/RAG sequence preparation)
     "q_chunks" -> ((s, dir) =>
       ops.TextAnalysis.chunkTokens(ops.Corpora.normDocs(s, dir))
@@ -1120,6 +1125,31 @@ object SparkEntry {
                // COUNT(*) AS BIGINT) AS dup_permille
       FROM fps f JOIN fpdf d ON f.fingerprint = d.fingerprint
       GROUP BY 1 ORDER BY 1""",
+
+    "q_packing" -> {
+      import graft.ops.{TextAnalysis => TA}
+      val b = TA.PackBudget; val rs = TA.PackRange
+      s"""
+      WITH RECURSIVE $normDocsCte,
+      sized AS (
+        SELECT doc_id // $rs AS range_id, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM norm_docs),
+      ordered AS (
+        SELECT *, row_number() OVER (PARTITION BY range_id ORDER BY doc_id) AS idx
+        FROM sized),
+      rec AS (
+        SELECT range_id, idx, doc_id, n, n AS fill, CAST(0 AS BIGINT) AS bin
+        FROM ordered WHERE idx = 1
+        UNION ALL
+        SELECT d.range_id, d.idx, d.doc_id, d.n,
+               CASE WHEN r.fill + d.n <= $b THEN r.fill + d.n ELSE d.n END,
+               CASE WHEN r.fill + d.n <= $b THEN r.bin ELSE r.bin + 1 END
+        FROM rec r JOIN ordered d
+          ON d.range_id = r.range_id AND d.idx = r.idx + 1)
+      SELECT range_id, doc_id, n AS n_tokens, bin
+      FROM rec ORDER BY range_id, doc_id"""
+    },
 
     "q_chunks" -> {
       import graft.ops.{TextAnalysis => TA}

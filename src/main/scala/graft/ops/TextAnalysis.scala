@@ -159,6 +159,51 @@ object TextAnalysis {
         array_join(col("chunk"), " ").as("chunk_text"))
   }
 
+  /** Packing constants for the demo query, shared with the DuckDB oracle. */
+  val PackBudget = 512
+  val PackRange = 256
+
+  /** SEQUENCE PACKING (training-batch preparation): assign documents to
+    * fixed-token-budget bins with the next-fit rule — docs are taken in
+    * doc_id order, appended to the current bin while they fit, otherwise a
+    * new bin starts; a doc longer than the budget gets a bin of its own.
+    *
+    * Global sequential packing cannot scale, so the corpus is split into
+    * deterministic doc_id RANGES (`doc_id div rangeSize`) packed
+    * independently: sequential inside a range, embarrassingly parallel
+    * across ranges, and — because ranges derive from ids, not layout —
+    * the result is partition/retry-invariant. Bin ids are (range_id, bin);
+    * the per-range tail bin is the only fill loss vs a global pack.
+    *
+    * Output: (range_id, doc_id, n_tokens, bin), one row per doc. */
+  def packSequences(docs: DataFrame, spark: SparkSession,
+                    budget: Int = PackBudget,
+                    rangeSize: Int = PackRange): DataFrame = {
+    import spark.implicits._
+    require(budget > 0 && rangeSize > 0)
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("int").as("n_tokens"))
+      .withColumn("range_id", expr(s"doc_id div $rangeSize"))
+      .select(col("range_id"), col("doc_id"), col("n_tokens"))
+      .as[(Long, Long, Int)]
+      .repartition(col("range_id"))
+      .sortWithinPartitions(col("range_id"), col("doc_id"))
+      .mapPartitions { it =>
+        // the kernel pattern: sequential per range, parallel across ranges
+        var curRange = Long.MinValue
+        var fill = 0L
+        var bin = 0L
+        it.map { case (r, d, n) =>
+          if (r != curRange) { curRange = r; fill = 0L; bin = 0L }
+          if (fill > 0 && fill + n > budget) { bin += 1; fill = 0L }
+          fill += n
+          (r, d, n.toLong, bin)
+        }
+      }
+      .toDF("range_id", "doc_id", "n_tokens", "bin")
+  }
+
   /** PII patterns — deliberately STRICT, deterministic formats (simple
     * character classes + bounded repeats only) whose semantics are
     * identical in Java regex (Spark codegen'd RegExpReplace/Count) and

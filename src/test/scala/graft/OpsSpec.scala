@@ -310,6 +310,30 @@ class OpsSpec extends AnyFunSuite {
     assert(c2.length == 1 && c2.head.getString(3) == "short doc")
   }
 
+  test("sequence packing: next-fit budget respected, oversize isolated, layout-invariant") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "a b c d"),                                // 4  -> bin 0 (fill 4)
+      (1L, "e f g h i"),                              // 5  -> bin 0 (fill 9)
+      (2L, "j k"),                                    // 2  -> bin 1 (9+2 > 10)
+      (3L, (1 to 12).map(_.toString).mkString(" ")),  // 12 -> bin 2 (oversize, own bin)
+      (4L, "x")                                       // 1  -> bin 3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(tiny, spark, budget = 10, rangeSize = 100)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // corpus property: a bin only exceeds the budget as a single oversize doc
+    val packed = TextAnalysis.packSequences(docs, spark).cache()
+    val over = packed.groupBy("range_id", "bin")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("k"))
+      .filter(col("tot") > TextAnalysis.PackBudget && col("k") > 1).count()
+    assert(over == 0, "multi-doc bin over budget")
+    // ranges derive from ids, not layout
+    val b = TextAnalysis.packSequences(docs.repartition(17), spark)
+    assert(packed.exceptAll(b).count() == 0 && b.exceptAll(packed).count() == 0)
+    packed.unpersist()
+  }
+
   test("per-key quota: at most n per key, partition-invariant selection") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "source")
