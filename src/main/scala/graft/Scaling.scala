@@ -141,6 +141,11 @@ object Scaling {
   }
 
   def main(args: Array[String]): Unit = {
+    // force both lazy selections NOW: a typo'd SPARK_GRAFT_DICT (or the
+    // disallowed file63k+injected combo) must fail before minutes of
+    // benchmark work run under a wrong label — the injected branch never
+    // touches Dict on its own
+    locally { val _ = (Job, Dict) }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,32")
       .split(",").map(_.trim.toInt).toSeq

@@ -78,15 +78,19 @@ object Evaluator {
     * table with an `is_best` marker at the F1-argmax (W2 semantics) and the
     * W3 "Ign" cumulative (train-leaked corrects excluded) when gold carries
     * an `intrain` flag. */
-  def thetaSweep(scored: DataFrame, gold: DataFrame,
+  def thetaSweep(scored0: DataFrame, gold: DataFrame,
                  maxRows: Long = MaxExactSweepRows): DataFrame = {
     // GUARD: the exact sweep's global unpartitioned Window funnels every
     // prediction through a single task — dev-slice-only by design. Refuse
     // corpus-scale inputs loudly instead of silently single-threading them;
     // the distributed twin (thetaSweepBinned, ≤1‰ agreement) is the
-    // corpus-scale path. limit(n+1) stops the probe scan early.
-    // clamp: limit() takes an Int — a caller-supplied ceiling near Long.Max
-    // must not overflow into a negative limit
+    // corpus-scale path. The input is persisted first: for passing
+    // (under-ceiling) inputs the probe must exhaust every partition, and
+    // without the persist the sweep would recompute the whole scoring
+    // lineage a second time. limit(n+1) still stops the scan early on
+    // over-ceiling inputs; clamp because limit() takes an Int.
+    val scored = scored0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probe = scored.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
     require(probe <= maxRows,
       s"thetaSweep: input exceeds $maxRows rows — the exact sweep is a " +

@@ -25,10 +25,17 @@ object Similarity {
     * the DuckDB oracles apply the identical rule. */
   val MaxBandDf = 1000
 
-  private def cappedBuckets(sk: DataFrame, maxBandDf: Int): DataFrame =
-    sk.withColumn("df", count(lit(1)).over(Window.partitionBy("band", "sig")))
+  private def cappedBuckets(sk0: DataFrame, maxBandDf: Int): DataFrame = {
+    // map-side-combinable groupBy + semi-join, NOT a count window: the
+    // window form sorts every bucket and single-tasks the degenerate one —
+    // the exact funnel the cap defends against. The sketch frame is
+    // persisted so the semi-join's build side doesn't recompute it.
+    val sk = sk0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sane = sk.groupBy("band", "sig").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxBandDf)
-      .drop("df")
+      .select("band", "sig")
+    sk.join(sane, Seq("band", "sig"), "left_semi")
+  }
 
   /** Quantize a float-array embedding to exact int space + squared norm. */
   def quantized(embeddings: DataFrame): DataFrame =

@@ -259,7 +259,9 @@ object TextAnalysis {
         col("doc_id"),
         col("n_toks").cast("long").as("n_toks"),
         col("n_distinct").cast("long").as("n_distinct"),
-        expr("CAST((n_toks - n_distinct) * 1000 AS BIGINT) div n_toks")
+        // widen BEFORE the multiply: size() is INT, and a 10-MB spam page
+        // can push (n_toks - n_distinct) * 1000 past Int.MaxValue
+        expr("((CAST(n_toks AS BIGINT) - n_distinct) * 1000) div n_toks")
           .as("dup_tok_permille"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("max_gram"), lit(0L)).as("max_gram"),
@@ -286,12 +288,16 @@ object TextAnalysis {
     * and 10^6 join rows, linear in input size. */
   def duplicateSpanStats(docs: DataFrame, spark: SparkSession,
                          k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // single pass: a count-window over the fingerprint partitioning gives
-    // each row its df without a second winnow pass (a groupBy+self-join
-    // would recompute the whole fingerprint pipeline for the build side)
-    winnowFingerprints(docs, spark, k, w).distinct()
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("fingerprint")))
+    // df via map-side-combinable groupBy + equi-join back, NOT a count
+    // window: WindowExec sorts and single-tasks each fingerprint's whole
+    // partition — a 10^9-doc boilerplate fingerprint becomes one straggler
+    // — while the groupBy ships only combiner outputs and the join streams.
+    // The fingerprint frame is persisted so the join's build side doesn't
+    // recompute the winnow pass.
+    val fps = winnowFingerprints(docs, spark, k, w).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fpdf = fps.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+    fps.join(fpdf, "fingerprint")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_fp"),

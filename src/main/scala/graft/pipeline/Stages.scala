@@ -237,17 +237,25 @@ object Stages {
     * dictionary carries no types either — types come from the dataset). */
   def resolveAliasEntries(entries: Seq[(String, String, Int)],
       types: Map[String, String],
-      defaultType: String = "MISC"): Seq[(String, String, String)] =
+      defaultType: String = "MISC",
+      strict: Boolean = false): Seq[(String, String, String)] =
     entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (a, cands) =>
       val qid = cands.minBy(c => (c._3, c._2))._2
+      // strict: the Gazetteer oracle INNER-joins the type table, so a
+      // type-less qid must fail loudly at dictionary build, not surface as
+      // an opaque oracle row diff
+      if (strict) require(types.contains(qid),
+        s"resolveAliasEntries: qid $qid (alias '$a') missing from the type table")
       (a, qid, types.getOrElse(qid, defaultType))
     }
 
-  /** The Gazetteer fixture dictionary, resolved. Equivalence with the
-    * relational vote is enforced by the shared DuckDB oracle (q_linked)
-    * and FusedSpec. */
+  /** The Gazetteer fixture dictionary, resolved (strict: every qid must
+    * have a type — the q_linked oracle's inner join demands it).
+    * Equivalence with the relational vote is enforced by the shared DuckDB
+    * oracle (q_linked) and FusedSpec. */
   def resolvedAliases: Seq[(String, String, String)] =
-    resolveAliasEntries(Gazetteer.aliases, Gazetteer.entityTypes.toMap)
+    resolveAliasEntries(Gazetteer.aliases, Gazetteer.entityTypes.toMap,
+      strict = true)
 
   /** mapPartitions production kernel (the north_star's "batched mention
     * detection per document-partition with pre-broadcast dictionaries"):
