@@ -173,6 +173,15 @@ object SparkEntry {
         .runBoundedDocLevel(s, docsDir, "q_stream_triples_sink", maxFilesPerTrigger = 2)
         .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
     }),
+    "q_stream_dedup" -> ((s, dir) => {
+      // streaming exact dedup: running min(doc_id) per content hash in
+      // Update mode — split-invariant, so the stream's terminal canonical
+      // map equals the batch GROUP BY under the same oracle
+      val docsDir = streaming.StreamingExtraction.stageDupDocsDir(s, dir, 4)
+      streaming.StreamingExtraction
+        .runBoundedDedup(s, docsDir, "q_stream_dedup_sink", maxFilesPerTrigger = 1)
+        .orderBy(col("content_md5"))
+    }),
     "q_stream_kb" -> ((s, dir) => {
       // stateful first-seen KB upsert (flatMapGroupsWithState): union of the
       // per-micro-batch KG deltas == the batch-distinct KB triple set
@@ -882,6 +891,12 @@ object SparkEntry {
       SELECT DISTINCT p.h_qid AS subj, r.pred, p.t_qid AS obj
       FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type
       ORDER BY 1, 2, 3""",
+
+    "q_stream_dedup" -> s"""
+      WITH $normDocsCte,
+      $dupCorpusCte
+      SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc
+      FROM dup_corpus GROUP BY 1 ORDER BY 1""",
 
     "q_kg_onehop" -> s"""
       WITH $kbCtes,

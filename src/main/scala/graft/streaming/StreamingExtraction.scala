@@ -95,6 +95,47 @@ object StreamingExtraction {
     spark.table(name)
   }
 
+  /** STREAMING EXACT DEDUP — canonicalize the crawl feed before batch
+    * processing: a streaming aggregation keeps the running MIN(doc_id) per
+    * content hash; each micro-batch emits the changed (hash, min) rows in
+    * Update mode, and the terminal min over all emitted updates IS the
+    * batch answer. Because min is order-insensitive, the result is
+    * SPLIT-INVARIANT: any assignment of files to micro-batches yields the
+    * same canonical map (unlike first-seen-wins, whose winner depends on
+    * arrival order). State: one (hash, long) entry per distinct content —
+    * RocksDB-backed at crawl scale, like `netNewTriples`. Production sinks
+    * the per-batch deltas via foreachBatch MERGE; the sandbox harness uses
+    * a memory sink and takes the terminal min. */
+  def runBoundedDedup(spark: SparkSession, docsDir: String, name: String,
+                      maxFilesPerTrigger: Int = Int.MaxValue): DataFrame = {
+    val schema = spark.read.parquet(docsDir).schema
+    val updates = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .select(md5(col("text").cast("binary")).as("content_md5"), col("doc_id"))
+      .groupBy("content_md5").agg(min(col("doc_id")).as("keep_doc"))
+    val q = updates.writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    // the memory sink accumulates every per-batch update row; the running
+    // mins are monotone, so the terminal min per hash is the global min
+    spark.table(name).groupBy("content_md5").agg(min(col("keep_doc")).as("keep_doc"))
+  }
+
+  /** Stage the exact-duplicate-planted corpus (normalized docs + copies of
+    * docs 0..19, `Corpora.withExactDups`) into an n-file feed directory —
+    * positives for the streaming dedup. Same source-fingerprint keying as
+    * [[stageDocsDir]]. */
+  def stageDupDocsDir(spark: SparkSession, sfDir: String, n: Int): String = {
+    val out = stagePathFor(sfDir, n, "dupdocs")
+    val done = new java.io.File(out, "_SUCCESS")
+    if (!done.exists()) {
+      graft.ops.Corpora.withExactDups(graft.ops.Corpora.normDocs(spark, sfDir))
+        .repartition(n).write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   /** Stage a single documents.parquet into an n-file directory — the sandbox
     * stand-in for a crawl feed directory (each file ≈ one crawl increment).
     * Deterministic content; idempotent per (sfDir, n, source content) via
@@ -104,6 +145,19 @@ object StreamingExtraction {
     * against a fresh oracle (the same stale-cache class `Scaling`'s layout
     * token guards against). */
   def stageDocsDir(spark: SparkSession, sfDir: String, n: Int): String = {
+    val out = stagePathFor(sfDir, n, "docs")
+    val done = new java.io.File(out, "_SUCCESS")
+    if (!done.exists()) {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(n).write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** Staged-feed path keyed on a fingerprint of the SOURCE file listing
+    * (names + sizes + mtimes): regenerating the testdata invalidates the
+    * stage instead of silently replaying stale documents. */
+  private def stagePathFor(sfDir: String, n: Int, tag: String): String = {
     val src = new java.io.File(s"$sfDir/documents.parquet")
     val listing = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
@@ -111,13 +165,7 @@ object StreamingExtraction {
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
     val srcTok = java.security.MessageDigest.getInstance("MD5")
       .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val out = s"/tmp/graft_stream_docs_${n}f_${srcTok}_" +
+    s"/tmp/graft_stream_${tag}_${n}f_${srcTok}_" +
       sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    val done = new java.io.File(out, "_SUCCESS")
-    if (!done.exists()) {
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .repartition(n).write.mode("overwrite").parquet(out)
-    }
-    out
   }
 }

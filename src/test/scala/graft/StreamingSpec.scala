@@ -80,6 +80,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() == 0)
   }
 
+  test("streaming exact dedup == batch canonical map, split-invariant") {
+    import graft.ops.{Corpora, Dedup}
+    val docsDir = StreamingExtraction.stageDupDocsDir(spark, sfDir, 4)
+    // one file per batch vs all-at-once: the running-min aggregation must
+    // yield the identical canonical map regardless of the split
+    val a = StreamingExtraction
+      .runBoundedDedup(spark, docsDir, "sdedup_a", maxFilesPerTrigger = 1).cache()
+    val b = StreamingExtraction
+      .runBoundedDedup(spark, docsDir, "sdedup_b", maxFilesPerTrigger = 4)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // equals the batch dedup's canonical keeps (min doc_id per content)
+    val batch = Dedup.exact(Corpora.withExactDups(Corpora.normDocs(spark, sfDir)))
+      .filter(org.apache.spark.sql.functions.col("keep"))
+    assert(a.count() == batch.count(), "one canonical row per distinct content")
+    // every planted copy resolves to its original, never itself
+    val keeps = a.collect().map(_.getLong(1)).toSet
+    assert(!keeps.exists(_ >= 1000000L), "a planted copy must never be canonical")
+    a.unpersist()
+  }
+
   test("KB upsert state survives a restart: exactly-once across stop/start") {
     import java.nio.file.Files
     val work = Files.createTempDirectory("graft_stream_resume")
