@@ -91,10 +91,11 @@ object Evaluator {
     // over-ceiling inputs; clamp because limit() takes an Int.
     val scored = scored0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probe = scored.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
-    require(probe <= maxRows,
-      s"thetaSweep: input exceeds $maxRows rows — the exact sweep is a " +
-        "single-partition funnel; use thetaSweepBinned for corpus-scale frames")
+    try {
+      val probe = scored.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
+      require(probe <= maxRows,
+        s"thetaSweep: input exceeds $maxRows rows — the exact sweep is a " +
+          "single-partition funnel; use thetaSweepBinned for corpus-scale frames")
     val hasIntrain = gold.columns.contains("intrain")
     val g0 = if (hasIntrain)
       gold.select((keyCols :+ coalesce(col("intrain"), lit(false)).as("intrain")): _*)
@@ -120,12 +121,17 @@ object Evaluator {
       .orderBy((col("bc").cast("double") / (lit(nGold.toDouble) + col("bi"))).desc,
         col("bi").asc)
       .limit(1)
+    // materialize the sweep table eagerly (bounded by the guarded input
+    // size) so the input cache can be released NOW — also on the
+    // guard-throw path via the finally
     marked.crossJoin(broadcast(best))
       .withColumn("is_best", col("i") === col("bi"))
       .withColumn("p_permille", col("cum_correct") * 1000 / col("i"))
       .withColumn("r_permille", col("cum_correct") * 1000 / lit(math.max(nGold, 1L)))
       .select("i", "score", "correct", "cum_correct", "cum_correct_ign",
         "p_permille", "r_permille", "is_best")
+      .localCheckpoint(true)
+    } finally scored.unpersist()
   }
 
   /** Distributed per-bin counts for the binned sweep: marked predictions

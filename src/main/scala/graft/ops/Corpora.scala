@@ -18,6 +18,11 @@ object Corpora {
       .select(col("doc_id"),
         trim(regexp_replace(col("text"), "[ \\t\\n\\r]+", " ")).as("text"))
 
+  /** Version token for DERIVED staged corpora (StreamingExtraction's
+    * dupdocs feed): bump on any semantic change to the dup planting or the
+    * normDocs normalization so stale /tmp stages invalidate. */
+  val DupPlantVersion = 1
+
   /** + exact copies of docs 0..19 under doc_id + 1,000,000. */
   def withExactDups(docs: DataFrame): DataFrame =
     docs.union(

@@ -25,12 +25,13 @@ object Similarity {
     * the DuckDB oracles apply the identical rule. */
   val MaxBandDf = 1000
 
-  private def cappedBuckets(sk0: DataFrame, maxBandDf: Int): DataFrame = {
+  private def cappedBuckets(sk: DataFrame, maxBandDf: Int): DataFrame = {
     // map-side-combinable groupBy + semi-join, NOT a count window: the
     // window form sorts every bucket and single-tasks the degenerate one —
-    // the exact funnel the cap defends against. The sketch frame is
-    // persisted so the semi-join's build side doesn't recompute it.
-    val sk = sk0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the exact funnel the cap defends against. The build side recomputes
+    // the in-row sketch projection (cheap, zero shuffle) rather than
+    // persisting the frame — a session-lifetime cache with no release
+    // point is the worse trade for a lazily-returned operator.
     val sane = sk.groupBy("band", "sig").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxBandDf)
       .select("band", "sig")

@@ -292,19 +292,23 @@ object TextAnalysis {
     // window: WindowExec sorts and single-tasks each fingerprint's whole
     // partition — a 10^9-doc boilerplate fingerprint becomes one straggler
     // — while the groupBy ships only combiner outputs and the join streams.
-    // The fingerprint frame is persisted so the join's build side doesn't
-    // recompute the winnow pass.
+    // The fingerprint frame is persisted for the two consumers; the
+    // per-doc result (bounded: one row per doc) is materialized eagerly so
+    // the cache releases before returning.
     val fps = winnowFingerprints(docs, spark, k, w).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fpdf = fps.groupBy("fingerprint").agg(count(lit(1)).as("df"))
-    fps.join(fpdf, "fingerprint")
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_fp"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_fp"))
-      // `div`, not `/`: Spark's / on longs is DOUBLE division; the oracle
-      // (and the fixed-point contract) needs exact integral permille
-      .withColumn("dup_permille", expr("(n_dup_fp * 1000) div n_fp"))
+    try {
+      val fpdf = fps.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+      fps.join(fpdf, "fingerprint")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_fp"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_fp"))
+        // `div`, not `/`: Spark's / on longs is DOUBLE division; the oracle
+        // (and the fixed-point contract) needs exact integral permille
+        .withColumn("dup_permille", expr("(n_dup_fp * 1000) div n_fp"))
+        .localCheckpoint(true)
+    } finally fps.unpersist()
   }
 
   /** Document pairs ranked by shared winnowing fingerprints (the MOSS-style

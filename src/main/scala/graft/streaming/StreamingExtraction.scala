@@ -127,7 +127,11 @@ object StreamingExtraction {
     * positives for the streaming dedup. Same source-fingerprint keying as
     * [[stageDocsDir]]. */
   def stageDupDocsDir(spark: SparkSession, sfDir: String, n: Int): String = {
-    val out = stagePathFor(sfDir, n, "dupdocs")
+    // v-token: unlike stageDocsDir (a pure copy, source fingerprint alone
+    // suffices), this stage DERIVES content — bump the version whenever
+    // Corpora.withExactDups / normDocs semantics change, or the stale
+    // staged corpus would silently diverge from the freshly-built oracle
+    val out = stagePathFor(sfDir, n, s"dupdocs_v${graft.ops.Corpora.DupPlantVersion}")
     val done = new java.io.File(out, "_SUCCESS")
     if (!done.exists()) {
       graft.ops.Corpora.withExactDups(graft.ops.Corpora.normDocs(spark, sfDir))
