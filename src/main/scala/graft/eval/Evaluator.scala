@@ -89,8 +89,15 @@ object Evaluator {
     // without the persist the sweep would recompute the whole scoring
     // lineage a second time. limit(n+1) still stops the scan early on
     // over-ceiling inputs; clamp because limit() takes an Int.
-    val scored = scored0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Only persist (and later unpersist) when the CALLER has not already
+    // cached the input: persist on an already-cached Dataset is a no-op,
+    // so unconditionally unpersisting here would evict the caller's cache
+    // and silently force recomputation in the caller.
+    val callerCached =
+      scored0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val scored =
+      if (callerCached) scored0
+      else scored0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val probe = scored.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
       require(probe <= maxRows,
@@ -131,7 +138,7 @@ object Evaluator {
       .select("i", "score", "correct", "cum_correct", "cum_correct_ign",
         "p_permille", "r_permille", "is_best")
       .localCheckpoint(true)
-    } finally scored.unpersist()
+    } finally if (!callerCached) scored.unpersist()
   }
 
   /** Distributed per-bin counts for the binned sweep: marked predictions

@@ -21,7 +21,16 @@ object Buckets {
     * same `keys` bucket of size in [2, maxDf]. `id` must be LONG. With
     * `dedup = true` each pair appears once; with `dedup = false` a pair
     * appears once PER shared bucket (callers that count co-occurrence
-    * multiplicity, e.g. shared-fingerprint tallies). */
+    * multiplicity, e.g. shared-fingerprint tallies).
+    *
+    * PRECONDITION: input rows must be distinct per (keys..., id) — every
+    * current caller feeds a groupBy/distinct output. Duplicate ids within a
+    * bucket would (a) count toward the BoundedCollect cap, so a bucket whose
+    * DISTINCT cardinality is under maxDf could be spuriously dropped
+    * (conservative — pairs are lost, never invented), and (b) produce
+    * a == b rows from the sorted in-row emission; the strict `<` guard below
+    * discards those, so a violating caller degrades conservatively instead
+    * of emitting self-pairs. */
   def pairsWithin(rows: DataFrame, keys: Seq[String], id: String, maxDf: Int,
                   aCol: String = "doc_a", bCol: String = "doc_b",
                   dedup: Boolean = true): DataFrame = {
@@ -35,6 +44,7 @@ object Buckets {
               transform(slice(docs, i + 2, size(docs) - i - 1), b ->
                 struct(a AS $aCol, b AS $bCol))))""")).as("p"))
       .select(col(s"p.$aCol").as(aCol), col(s"p.$bCol").as(bCol))
+      .filter(col(aCol) < col(bCol))
     if (dedup) pairs.distinct() else pairs
   }
 }

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for web-scale corpora.
   *
@@ -26,13 +25,24 @@ object Dedup {
   val MaxVerifyShingles = 20000 // per-doc bound on the in-row verify arrays
 
   /** Exact dedup: md5 group, group size, canonical representative = min id.
-    * The `keep` flag implements "first writer wins" dedup at scale. */
+    * The `keep` flag implements "first writer wins" dedup at scale.
+    *
+    * Group stats are a map-side-combinable `groupBy(md5).agg` joined back on
+    * md5 — NOT a `Window.partitionBy(md5)`: a hot content hash (empty pages,
+    * parked-domain boilerplate — routinely 10⁶–10⁸ identical copies at web
+    * scale) funnels a window into ONE sorting task, while the groupBy
+    * partial-aggregates it on every input partition and ships one tiny
+    * (count, min) row per hash. The equi-join back redistributes the group
+    * rows across all tasks holding that hash, so no single task ever sees
+    * the full hot group. Same rows, same oracle, no straggler. */
   def exact(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("md5"))
-    TextAnalysis.fingerprint(docs)
-      .withColumn("group_size", count(lit(1)).over(w))
-      .withColumn("canonical_id", min(col("doc_id")).over(w))
-      .withColumn("keep", col("doc_id") === col("canonical_id"))
+    val fp = TextAnalysis.fingerprint(docs)
+    val stats = fp.groupBy(col("md5"))
+      .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("canonical_id"))
+    fp.join(stats, "md5")
+      .select(col("doc_id"), col("md5"), col("fp64"), col("group_size"),
+        col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
   }
 
   /** Distinct word-shingles per doc. Partition-local (explode only). */
@@ -105,10 +115,15 @@ object Dedup {
                    maxShingleDf: Int = MaxShingleDf): DataFrame = {
     val sh = shingles(docs).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val kept = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+    // shingle document-frequency via map-side-combinable groupBy + semi-join
+    // (the Similarity.cappedBuckets shape) — NOT a count window: the viral
+    // shingle this cap exists to drop would be single-tasked by the window
+    // sort BEFORE the filter could drop it, i.e. the straggler would arrive
+    // at the df computation instead of the join it defends.
+    val sane = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
-      .drop("df")
+      .select("shingle")
+    val kept = sh.join(sane, Seq("shingle"), "left_semi")
     val a = kept.select(col("shingle"), col("doc_id").as("doc_a"))
     val b = kept.select(col("shingle"), col("doc_id").as("doc_b"))
     val common = a.join(b, "shingle")

@@ -234,7 +234,16 @@ object Stages {
     * mention of an alias carries the same candidate set, so the
     * per-(doc, alias) winner is the global (prio asc, qid asc) winner.
     * Entities outside the type table default to MISC (the reference's
-    * dictionary carries no types either — types come from the dataset). */
+    * dictionary carries no types either — types come from the dataset).
+    *
+    * Intra-tier duplicate-label tie-break: min (prio, qid) — a DELIBERATE
+    * determinism pin that diverges from the reference ingest
+    * (ATLOP+KIRE/data/gen_kg_data.py:41-47, 66-70), where plain-dict
+    * insertion makes the LAST file occurrence of a label win. The
+    * reference's winner therefore depends on dump line order, which is
+    * nondeterministic across dump regenerations; a content-ordered rule is
+    * the only replayable choice, and the DuckDB oracle replays this same
+    * rule, so the divergence is self-consistent and surfaced here. */
   def resolveAliasEntries(entries: Seq[(String, String, Int)],
       types: Map[String, String],
       defaultType: String = "MISC",

@@ -109,6 +109,23 @@ class PlanSpec extends AnyFunSuite {
     assert(ids == (0L until 613L), "ids not a contiguous 0-based range")
   }
 
+  test("dedup group stats and shingle df are windowless (no hot-key funnel)") {
+    // A Window.partitionBy(md5|shingle) single-tasks the hot group (empty
+    // pages / viral boilerplate: 10⁶–10⁸ copies at web scale). Both operators
+    // must compute group stats via map-side-combinable groupBy + join, which
+    // partial-aggregates the hot group on every input partition instead.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val exactPlan = planOf(ops.Dedup.exact(docs))
+    assert(!exactPlan.contains("Window"),
+      s"Dedup.exact must not sort hot md5 groups in one task:\n$exactPlan")
+    assert(exactPlan.contains("HashAggregate"),
+      s"Dedup.exact group stats must be a hash aggregation:\n$exactPlan")
+    val jacPlan = planOf(ops.Dedup.jaccardPairs(docs, 3, 500))
+    assert(!jacPlan.contains("Window"),
+      s"jaccardPairs shingle-df must not window over a viral shingle:\n$jacPlan")
+  }
+
   test("salting spreads a hot key across partitions (measured, not assumed)") {
     import spark.implicits._
     val big = spark.range(20000).select(lit("hot").as("k"), col("id").as("v"))
