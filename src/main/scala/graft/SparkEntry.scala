@@ -760,9 +760,15 @@ object SparkEntry {
         WHERE pf.n_cooc >= 1 OR dpair.h_qid IS NOT NULL),
       und AS (SELECT DISTINCT doc_id, h AS a, t AS b FROM hop
               UNION SELECT DISTINCT doc_id, t AS a, h AS b FROM hop),
+      -- per-entity neighbor sets are BOUNDED at the MaxNbrSet smallest
+      -- (hub-entity row-width cap; mirrors KnowledgeInjection.boundedNbrSets)
+      nbrk AS (SELECT doc_id, a, b,
+                      row_number() OVER (PARTITION BY doc_id, a ORDER BY b) AS rn
+               FROM und),
+      nbrs AS (SELECT doc_id, a, b FROM nbrk WHERE rn <= ${KI.MaxNbrSet}),
       nbr AS (SELECT e1.doc_id, e1.a AS h_qid, e2.a AS t_qid,
                      COUNT(DISTINCT e1.b) AS shared_nbrs
-              FROM und e1 JOIN und e2 ON e1.doc_id = e2.doc_id AND e1.b = e2.b
+              FROM nbrs e1 JOIN nbrs e2 ON e1.doc_id = e2.doc_id AND e1.b = e2.b
               WHERE e1.a <> e2.a AND e1.b <> e1.a AND e1.b <> e2.a
               GROUP BY 1, 2, 3),
       iattrs(qid, kind, text) AS (SELECT * FROM (VALUES ${Gazetteer.kgAttrValues}) v(qid, kind, text)),

@@ -51,6 +51,20 @@ object KnowledgeInjection {
   val WCorefUnit = 10; val CorefCap = 8 // coref partner counts (W1 top-8)
   val WAttr = 100 // same instance-of class (attr-encoder distillation)
 
+  /** Hard ceiling on a per-(doc, entity) one-hop neighbor SET: the
+    * MaxNbrSet lexicographically-smallest neighbors (deterministic, so
+    * partition-invariant and SQL-replayable). A hub entity (a country,
+    * "human") has 10⁵–10⁷ one-hop KB neighbors; an unbounded collect_set
+    * would build that row in one agg buffer and carry it into every pair
+    * of every doc mentioning the hub. The shared-neighbor feature is
+    * capped at NbrCap = 4 anyway, so the bounded sets only need to witness
+    * ≥ 4 shared elements; with both endpoints keeping their 1000 smallest,
+    * an undercount requires > MaxNbrSet − NbrCap non-shared neighbors
+    * lexicographically below a shared one on BOTH sides simultaneously —
+    * and the DuckDB oracle replays the same bound, so the semantics are
+    * pinned, not approximated away. */
+  val MaxNbrSet = 1000
+
   case class InjectedFeature(doc_id: Long, h_qid: String, h_type: String,
                              t_qid: String, t_type: String,
                              min_sent_dist: Int, n_cooc: Long,
@@ -90,6 +104,17 @@ object KnowledgeInjection {
         coalesce(col("k"), lit(0L)).cast("int").as("coref"))
   }
 
+  /** Per-(doc, entity) one-hop neighbor sets from undirected edge rows
+    * `(doc_id, a, b)`, BOUNDED at the [[MaxNbrSet]] smallest neighbors —
+    * a map-side-combinable aggregation whose partial buffers never exceed
+    * MaxNbrSet elements even for a 10⁷-degree hub (see
+    * [[graft.functions.BoundedMinSet]]). Result arrays arrive sorted. */
+  def boundedNbrSets(und: DataFrame): DataFrame = {
+    val bounded = udaf(new graft.functions.BoundedMinSet(MaxNbrSet))
+    und.groupBy(col("doc_id"), col("a").as("qid"))
+      .agg(bounded(col("b")).as("nbrs"))
+  }
+
   /** Pair features + injected knowledge. Derivation is genuine dataflow from
     * the enrichment operators: direct-edge / shared-neighbor features come
     * from `Enrich.oneHop`'s output, the attribute feature from
@@ -122,8 +147,7 @@ object KnowledgeInjection {
     val und = hop.select(col("doc_id"), col("h").as("a"), col("t").as("b"))
       .union(hop.select(col("doc_id"), col("t").as("a"), col("h").as("b")))
       .distinct()
-    val nbrSets = und.groupBy(col("doc_id"), col("a").as("qid"))
-      .agg(collect_set(col("b")).as("nbrs"))
+    val nbrSets = boundedNbrSets(und)
 
     // entity aggregation (the pairFeatures shape) with knowledge columns
     // attached at ENTITY level — k rows per doc, not the k² pair blowup —
@@ -368,10 +392,17 @@ object KnowledgeInjection {
           val docents = arr.iterator
             .collect { case (q, (tpe, _)) if tpe != "TIME" => q }.toSet
           val sentSets = arr.map(_._2._2.toSet)
-          // per-entity knowledge, hoisted out of the k² pair loop
+          // per-entity knowledge, hoisted out of the k² pair loop; the
+          // doc-scoped neighborhood gets the SAME MaxNbrSet smallest-first
+          // bound as the staged boundedNbrSets aggregation (kernel ≡ staged
+          // ≡ oracle for hub entities too)
           val nbrs = arr.map { case (q, (tpe, _)) =>
-            val full = adjM.getOrElse(q, Set.empty[String])
-            if (tpe != "TIME") full else full.intersect(docents)
+            val scoped = {
+              val full = adjM.getOrElse(q, Set.empty[String])
+              if (tpe != "TIME") full else full.intersect(docents)
+            }
+            if (scoped.size <= MaxNbrSet) scoped
+            else scoped.toArray.sorted.take(MaxNbrSet).toSet
           }
           // coref partner count (W1 distillation, ENTITY-keyed per
           // gen_coref_data.py:148-188): all positions of the qid's aliases

@@ -133,6 +133,39 @@ class InjectionSpec extends AnyFunSuite {
     assert(kernel == canon(KI.scoreInjectedRelational(f)), "kernel must equal twin")
   }
 
+  test("hub entity: a 10^5-degree neighbor set stays bounded at MaxNbrSet") {
+    // a country-like hub with 100k one-hop KB edges must NOT produce a
+    // 100k-element row — the bounded aggregation keeps the MaxNbrSet
+    // lexicographically-smallest neighbors, deterministically
+    val hubDeg = 100000
+    val hubEdges = spark.range(hubDeg).select(
+      lit(1L).as("doc_id"), lit("QHUB").as("a"),
+      concat(lit("N"), lpad(col("id").cast("string"), 7, "0")).as("b"))
+    // a small entity sharing its whole 10-neighbor set with the hub; all 10
+    // fall inside the hub's kept-smallest window, so the shared-neighbor
+    // witness survives the cap
+    val smallEdges = spark.range(10).select(
+      lit(1L).as("doc_id"), lit("QX").as("a"),
+      concat(lit("N"), lpad(col("id").cast("string"), 7, "0")).as("b"))
+    val und = hubEdges.union(smallEdges)
+    def setsOf(df: org.apache.spark.sql.DataFrame): Map[String, Seq[String]] =
+      KI.boundedNbrSets(df).collect()
+        .map(r => r.getString(1) -> r.getSeq[String](2)).toMap
+    val sets = setsOf(und)
+    val hub = sets("QHUB")
+    assert(hub.length == KI.MaxNbrSet, s"row not bounded: ${hub.length}")
+    assert(hub == hub.sorted, "bounded set must arrive sorted")
+    assert(hub.head == "N0000000" && hub.last == s"N${"%07d".format(KI.MaxNbrSet - 1)}",
+      "must keep exactly the MaxNbrSet smallest")
+    assert(sets("QX").length == 10)
+    assert(sets("QX").toSet.subsetOf(hub.toSet),
+      "shared-neighbor witnesses must survive the cap")
+    // deterministic across partitionings (map-side partials merge to the
+    // same smallest-K regardless of arrival order)
+    assert(setsOf(und.repartition(17))("QHUB") == hub)
+    assert(setsOf(und.orderBy(col("b").desc))("QHUB") == hub)
+  }
+
   test("coref + neighborhood features are live dataflow (nonzero on fixture)") {
     assert(feats.filter(col("h_coref") > 0).count() > 0, "coref feature dead")
     assert(feats.filter(col("shared_nbrs") > 0).count() > 0, "neighbor feature dead")
