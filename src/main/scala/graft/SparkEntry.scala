@@ -421,7 +421,7 @@ object SparkEntry {
       sinks.Dictionaries.codedTriples(triples)
         .orderBy(col("doc_id"), col("h_id"), col("r_id"), col("t_id"))
     }),
-    // non-SQL-expressible (rows-only driver check): WordPiece subword stream
+    // WordPiece subword stream; oracle = recursive-CTE greedy-walk replay
     "q_wordpiece" -> ((s, dir) => {
       val d = ops.Corpora.normDocs(s, dir)
       d.select(col("doc_id"),
@@ -1098,6 +1098,44 @@ object SparkEntry {
              CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
              CAST(length(replace(text, ' ', '')) * 100 // len(string_split(text, ' ')) AS BIGINT) AS mean_tok_len_centi
       FROM norm_docs ORDER BY doc_id""",
+    // greedy longest-match-first WordPiece, replayed exactly: per word
+    // position, the best (longest) vocab piece is a plain aggregation; the
+    // recursive CTE then WALKS the greedy chain (pos -> pos + best_len), so
+    // a word's subword count is the walk length, or 1 ([UNK]) if the walk
+    // gets stuck or the word exceeds the HF length guard
+    "q_wordpiece" -> s"""
+      WITH RECURSIVE $normDocsCte,
+      vocab(piece) AS (SELECT * FROM (VALUES ${graft.text.WordPiece.vocabValues}) v(piece)),
+      vp AS (SELECT (piece LIKE '##%') AS cont,
+                    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS body
+             FROM vocab),
+      words AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM norm_docs),
+      nwords AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY 1),
+      uwords AS (SELECT DISTINCT w AS word FROM words WHERE w <> ''),
+      positions AS (SELECT word, UNNEST(generate_series(1, LENGTH(word))) AS pos FROM uwords),
+      best AS (SELECT p.word, p.pos, MAX(LENGTH(v.body)) AS blen
+               FROM positions p JOIN vp v
+                 ON v.cont = (p.pos > 1)
+                AND substr(p.word, p.pos, LENGTH(v.body)) = v.body
+               GROUP BY 1, 2),
+      walk(word, pos, n) AS (
+        SELECT word, 1, 0 FROM uwords
+        UNION ALL
+        SELECT w.word, CAST(w.pos + b.blen AS INT), w.n + 1
+        FROM walk w JOIN best b ON b.word = w.word AND b.pos = w.pos
+        WHERE w.pos <= LENGTH(w.word)),
+      ends AS (SELECT word, MAX(pos) AS maxpos, MAX(n) AS steps FROM walk GROUP BY 1),
+      wtok AS (SELECT word,
+               CASE WHEN LENGTH(word) > ${graft.text.WordPiece.MaxWordChars} THEN 1
+                    WHEN maxpos = LENGTH(word) + 1 THEN steps
+                    ELSE 1 END AS n_sub
+               FROM ends),
+      persub AS (SELECT w.doc_id, SUM(t.n_sub) AS n_subwords
+                 FROM words w JOIN wtok t ON w.w = t.word GROUP BY 1)
+      SELECT n.doc_id, CAST(COALESCE(p.n_subwords, 0) AS INT) AS n_subwords,
+             CAST(n.n_words AS INT) AS n_words
+      FROM nwords n LEFT JOIN persub p ON n.doc_id = p.doc_id
+      ORDER BY n.doc_id""",
     "q_langid" -> s"""
       WITH $normDocsCte,
       m AS (SELECT doc_id,

@@ -33,6 +33,12 @@ object WordPiece {
     singles ++ whole ++ pieces ++ Set(".", ",", "?", "'", "\"")
   }
 
+  /** SQL VALUES literal of the fixture vocab — the DuckDB oracle replays
+    * greedy longest-match-first tokenization from the SAME constant. */
+  def vocabValues: String =
+    fixtureVocab.toSeq.sorted
+      .map(v => "('" + v.replace("'", "''") + "')").mkString(", ")
+
   /** Greedy longest-match-first decomposition of one word. */
   def tokenizeWord(word: String, vocab: Set[String]): Seq[String] = {
     if (word.isEmpty) return Seq.empty
