@@ -28,6 +28,16 @@ object SparkEntry {
   val IvfNlist = 8
   val IvfNprobe = 2
 
+  /** Text→vector near-dup operating point (q_text_neardup), chosen on
+    * measurement at sf0.001/sf0.01: planted near-dups (3-of-≥13 tokens
+    * dropped) sit at cosine ≥ 0.930, the non-duplicate background below
+    * 0.915, so 920‰ splits them; 8 bands × 8 bits gives measured recall
+    * 154/159 and 108/109 vs the exact all-pairs sweep (≥ 95%, spec-pinned)
+    * while keeping candidate pairs ~3% of the quadratic. */
+  val TextBands = 8
+  val TextBitsPerBand = 8
+  val TextNearDupPermille = 920
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full pages → triples pipeline. */
   def entry(spark: SparkSession): DataFrame = {
@@ -514,6 +524,17 @@ object SparkEntry {
       ops.Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 3, 20,
           IvfNlist, IvfNprobe, s)
         .orderBy(col("query_id"), col("rank"))),
+
+    // text → embedding → near-dup END-TO-END (no fixture vector table):
+    // per-doc centered mean md5-component vectors from the page text itself,
+    // then the same LSH-bucketed exact-threshold dedup as q_embed_neardup
+    "q_text_neardup" -> ((s, dir) => {
+      val corpus = ops.Corpora.withNearDups(ops.Corpora.normDocs(s, dir))
+      ops.Similarity.cosineNearDups(
+          pipeline.VectorFeatures.docVectorsKernel(corpus, s),
+          TextNearDupPermille, TextBands, TextBitsPerBand, s)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
 
     "q_embed_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup via LSH band buckets (the 100 TB shape:
@@ -1647,6 +1668,54 @@ object SparkEntry {
       JOIN qn2 na ON d.doc_a = na.vec_id
       JOIN qn2 nb ON d.doc_b = nb.vec_id
       WHERE d.dot > 0 AND d.dot::HUGEINT * d.dot * 1000000 >= 980100::HUGEINT * na.norm2 * nb.norm2
+      ORDER BY 1, 2""",
+
+    // text → centered mean md5-component doc vectors → LSH band buckets →
+    // exact decimal threshold — the full pages→vectors→near-dup dataflow
+    // replayed from the corpus text (the one IEEE division, 32·s−Σs over
+    // n_toks, is bit-identical in both engines)
+    "q_text_neardup" -> s"""
+      WITH $normDocsCte,
+      $nearCorpusCte,
+      ntoks AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM near_corpus),
+      ttoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM near_corpus),
+      comp AS (SELECT doc_id, d, SUM(ascii(substring(md5(t), d + 1, 1)) - 80) AS s
+               FROM ttoks, (SELECT unnest(range(${graft.pipeline.VectorFeatures.DocDims})) AS d)
+               GROUP BY 1, 2),
+      tot AS (SELECT doc_id, SUM(s) AS st FROM comp GROUP BY 1),
+      emb AS (SELECT c.doc_id, c.d,
+                     CAST(${graft.pipeline.VectorFeatures.DocDims} * c.s - t.st AS DOUBLE) / n.n AS e
+              FROM comp c JOIN tot t ON c.doc_id = t.doc_id
+              JOIN ntoks n ON c.doc_id = n.doc_id),
+      qv AS (SELECT doc_id, d, CAST(floor(e * 1000.0 + 0.5) AS BIGINT) AS qv FROM emb),
+      qn2 AS (SELECT doc_id, CAST(SUM(qv*qv) AS BIGINT) AS norm2 FROM qv GROUP BY 1),
+      bits AS (
+        SELECT doc_id, j,
+               CASE WHEN SUM(qv * CASE WHEN substring(md5(j::VARCHAR || '|' || d::VARCHAR), 1, 1) >= '8'
+                                  THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+        FROM qv, (SELECT unnest(range(${TextBands * TextBitsPerBand})) AS j) GROUP BY 1, 2),
+      sigs AS (
+        SELECT doc_id, CAST(j // $TextBitsPerBand AS INT) AS band,
+               CAST(SUM(bit * CAST(pow(2, j % $TextBitsPerBand) AS BIGINT)) AS BIGINT) AS sig
+        FROM bits GROUP BY 1, 2),
+      kept AS (
+        SELECT doc_id, band, sig FROM (
+          SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS df FROM sigs)
+        WHERE df <= ${graft.ops.Similarity.MaxBandDf}),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      dots AS (
+        SELECT doc_a, doc_b, CAST(SUM(av * bv) AS BIGINT) AS dot FROM (
+          SELECT c.doc_a, c.doc_b, a.qv AS av, b.qv AS bv
+          FROM cand c JOIN qv a ON c.doc_a = a.doc_id JOIN qv b ON c.doc_b = b.doc_id AND a.d = b.d)
+        GROUP BY 1, 2)
+      SELECT d.doc_a, d.doc_b, d.dot
+      FROM dots d
+      JOIN qn2 na ON d.doc_a = na.doc_id
+      JOIN qn2 nb ON d.doc_b = nb.doc_id
+      WHERE d.dot > 0 AND d.dot::HUGEINT * d.dot * 1000000 >=
+        ${TextNearDupPermille.toLong * TextNearDupPermille}::HUGEINT * na.norm2 * nb.norm2
       ORDER BY 1, 2""",
 
     "q_multimodal" -> s"""

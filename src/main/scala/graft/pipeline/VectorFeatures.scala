@@ -77,6 +77,63 @@ object VectorFeatures {
     }
   }
 
+  /** Doc-embedding width: all 32 md5 hex digits (vs the Dims = 8 of the
+    * token chain) — 8 dims cannot separate near-dup short docs from the
+    * background (measured: planted-pair min cosine 0.916 vs background max
+    * 0.999 at 8 dims; clean 0.93-vs-0.91 separation at 32). */
+  val DocDims = 32
+
+  /** Adds all 32 md5 hex-digit components of `tok` into `out` —
+    * the DocDims-wide sibling of `addTokenComps`. */
+  private def addTokenComps32(md: java.security.MessageDigest, tok: String,
+                              out: Array[Long]): Unit = {
+    md.reset()
+    val dig = md.digest(tok.getBytes("UTF-8"))
+    var d = 0
+    while (d < DocDims) {
+      val b = dig(d >> 1) & 0xFF
+      val nib = if ((d & 1) == 0) b >>> 4 else b & 0xF
+      out(d) += (if (nib < 10) nib - 32 else nib + 7)
+      d += 1
+    }
+  }
+
+  /** The pages→vectors bridge: one DocDims-dim embedding per document,
+    * feeding `Similarity.cosineNearDups`/`ivfTopK` directly — text →
+    * embedding → ANN/near-dup with no fixture table.
+    *
+    * Component d = (DocDims·s_d − Σ_d' s_d') / n_toks, where s_d is the
+    * whole-doc sum of md5-digit token components (the same deterministic
+    * token embedding as the A10/A11 chain, at full md5 width):
+    *  - SUBTRACTING the cross-dim total removes the shared token-count
+    *    direction (every raw sum vector points near n·μ·(1,…,1), so
+    *    uncentered cosines are all ≈ 1 and discriminate nothing);
+    *  - DIVIDING by n_toks makes components O(token range) regardless of
+    *    document length, so the downstream quantized BIGINT norms can
+    *    never overflow on a long document (raw sums at 10⁵ tokens would
+    *    put q² ≈ 10²⁷ past the int64 dot product).
+    * Integer-exact until the one IEEE division, which DuckDB replays
+    * bit-identically (q_text_neardup). In-row, zero shuffle. */
+  def docVectorsKernel(pages: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    pages.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (docId, text) =>
+          val toks = text.split(" ", -1)
+          val s = new Array[Long](DocDims)
+          var i = 0
+          while (i < toks.length) { addTokenComps32(md, toks(i), s); i += 1 }
+          var st = 0L
+          var d = 0
+          while (d < DocDims) { st += s(d); d += 1 }
+          val emb = Array.tabulate(DocDims)(d =>
+            (DocDims * s(d) - st).toDouble / toks.length)
+          (docId, emb.toSeq)
+        }
+      }.toDF("vec_id", "embedding")
+  }
+
   /** mapPartitions twin of `sentenceVectors` — row-identical (spec-pinned),
     * ~5× cheaper: the interpreted HOF path evaluates md5 + 8 substring/
     * ascii expressions per token; here it's one digest and four byte reads.

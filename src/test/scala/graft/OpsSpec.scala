@@ -501,6 +501,39 @@ class OpsSpec extends AnyFunSuite {
       s"LSH recall ${recalled.toDouble / nExact} below documented bound at 990 permille")
   }
 
+  test("pages→vectors→near-dup end-to-end: planted text dups recovered, recall ≥ 95% vs exact") {
+    // the text-driven twin of the fixture-embedding path: doc vectors come
+    // from the page text itself (VectorFeatures.docVectorsKernel), then the
+    // same LSH-bucketed exact-threshold dedup — no embeddings.parquet
+    val corpus = Corpora.withNearDups(docs).cache()
+    val vecs = graft.pipeline.VectorFeatures.docVectorsKernel(corpus, spark).cache()
+    val thr = SparkEntry.TextNearDupPermille.toLong
+    val lsh = Similarity.cosineNearDups(vecs, SparkEntry.TextNearDupPermille,
+        SparkEntry.TextBands, SparkEntry.TextBitsPerBand, spark)
+      .select("doc_a", "doc_b").cache()
+    // every planted near-copy (3-of-≥13 tokens dropped) must be recovered
+    val nPlantedDocs = corpus.filter(col("doc_id") >= 1000000L).count()
+    val plantedFound = lsh.filter(col("doc_b") === col("doc_a") + 1000000L).count()
+    assert(nPlantedDocs > 0 && plantedFound == nPlantedDocs,
+      s"recovered $plantedFound/$nPlantedDocs planted near-dup pairs")
+    // exact all-pairs sweep over the SAME vectors (affordable at test scale)
+    val q = Similarity.quantized(vecs)
+    val exact = q.select(col("vec_id").as("doc_a"), col("q").as("qa"), col("norm2").as("na"))
+      .join(q.select(col("vec_id").as("doc_b"), col("q").as("qb"), col("norm2").as("nb")),
+        col("doc_a") < col("doc_b"))
+      .withColumn("dot", Similarity.dotQ(col("qa"), col("qb")))
+      .filter(col("dot") > 0 &&
+        col("dot").cast("decimal(38,0)") * col("dot") * lit(1000000L) >=
+          lit(thr * thr) * col("na").cast("decimal(38,0)") * col("nb"))
+      .select("doc_a", "doc_b").cache()
+    val nExact = exact.count()
+    assert(nExact >= nPlantedDocs, s"exact sweep found only $nExact pairs")
+    assert(lsh.exceptAll(exact).count() == 0, "LSH must never emit a sub-threshold pair")
+    val recalled = exact.intersect(lsh).count()
+    assert(recalled.toDouble / nExact >= 0.95,
+      s"text near-dup recall ${recalled.toDouble / nExact} below bound")
+  }
+
   test("BMP/WAV parsers decode hand-assembled golden bytes; text stays raw") {
     import spark.implicits._
     def meta(bytes: Array[Byte]): Multimodal.MediaMeta =
