@@ -122,6 +122,30 @@ object StreamingExtraction {
     spark.table(name).groupBy("content_md5").agg(min(col("keep_doc")).as("keep_doc"))
   }
 
+  /** BOUNDED-STATE streaming dedup — the `dropDuplicatesWithinWatermark`
+    * twin the exact running-min dedup's scale note promises. Dedup key =
+    * content hash, event time = `warc_ts`: the state entry for a hash is
+    * EVICTED once the watermark passes its first-seen event time + `delay`,
+    * so state size is bounded by the horizon's distinct-content count
+    * instead of growing with |distinct content over the whole crawl|.
+    *
+    * The trade (documented AND spec-pinned in StreamingSpec): a duplicate
+    * arriving more than `delay` after the watermark passes its original is
+    * treated as NEW content and re-emitted. Right when the sink dedups
+    * idempotently (MERGE on content hash) or downstream tolerates horizon
+    * re-crawls; wrong for an append-only sink needing global exactness —
+    * use [[runBoundedDedup]]'s running-min aggregation there (unbounded
+    * state, RocksDB-backed). Unlike the running min, output here is
+    * FIRST-SEEN-WINS and therefore arrival-order-dependent — inherent to
+    * any bounded-horizon dedup (a global order-insensitive min needs the
+    * full key history). */
+  def dedupWithinHorizon(docs: DataFrame, delay: String): DataFrame =
+    docs
+      .select(md5(col("text").cast("binary")).as("content_md5"),
+        col("doc_id"), col("warc_ts"))
+      .withWatermark("warc_ts", delay)
+      .dropDuplicatesWithinWatermark("content_md5")
+
   /** Stage the exact-duplicate-planted corpus (normalized docs + copies of
     * docs 0..19, `Corpora.withExactDups`) into an n-file feed directory —
     * positives for the streaming dedup. Same source-fingerprint keying as

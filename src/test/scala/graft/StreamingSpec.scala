@@ -100,6 +100,41 @@ class StreamingSpec extends AnyFunSuite {
     a.unpersist()
   }
 
+  test("bounded-state dedup drops in-horizon dups; a past-horizon dup re-emits (the documented trade)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "warc_ts", "text")
+    val q = StreamingExtraction.dedupWithinHorizon(docs, "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("wdedup").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      f"2026-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    // batch 1: original + same-batch duplicate
+    mem.addData((1L, ts(0), "same page"), (2L, ts(1), "same page"))
+    q.processAllAvailable()
+    // batch 2: in-horizon duplicate (state live) + unrelated content
+    mem.addData((3L, ts(5), "same page"), (4L, ts(5), "other content"))
+    q.processAllAvailable()
+    // batch 3: watermark jumps to ts(120) − 10min, far past the original's
+    // eviction point (first-seen ts(0) + 10min) — state for "same page" dies
+    mem.addData((5L, ts(120), "unrelated content"))
+    q.processAllAvailable()
+    // batch 4: the SAME content again, after the horizon
+    mem.addData((6L, ts(121), "same page"))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("wdedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(emitted.contains(1L), "first occurrence must emit")
+    assert(!emitted.contains(2L) && !emitted.contains(3L),
+      "in-horizon duplicates must be dropped")
+    assert(emitted.contains(4L) && emitted.contains(5L),
+      "distinct content must pass through")
+    assert(emitted.contains(6L),
+      "past-horizon duplicate must RE-EMIT after state eviction — the bounded-state trade")
+  }
+
   test("KB upsert state survives a restart: exactly-once across stop/start") {
     import java.nio.file.Files
     val work = Files.createTempDirectory("graft_stream_resume")
