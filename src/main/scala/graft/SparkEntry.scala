@@ -431,6 +431,13 @@ object SparkEntry {
       sinks.Dictionaries.codedTriples(triples)
         .orderBy(col("doc_id"), col("h_id"), col("r_id"), col("t_id"))
     }),
+    // BPE encode under the committed fixture merge table (training itself —
+    // graft.text.Bpe.train — is the production path, spec-pinned; the
+    // oracle needs a merge table both engines can state)
+    "q_bpe" -> ((s, dir) =>
+      text.Bpe.encodeStats(ops.Corpora.normDocs(s, dir), text.Bpe.fixtureMerges, s)
+        .orderBy(col("doc_id"))),
+
     // WordPiece subword stream; oracle = recursive-CTE greedy-walk replay
     "q_wordpiece" -> ((s, dir) => {
       val d = ops.Corpora.normDocs(s, dir)
@@ -1119,6 +1126,44 @@ object SparkEntry {
              CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
              CAST(length(replace(text, ' ', '')) * 100 // len(string_split(text, ' ')) AS BIGINT) AS mean_tok_len_centi
       FROM norm_docs ORDER BY doc_id""",
+    // greedy BPE encode under the committed fixture merge table: a word's
+    // segmentation rides as a Sep-delimited string where applying ONE merge
+    // IS replace(seg, Sep a Sep b Sep, Sep ab Sep) — boundary-anchored so a
+    // pattern can't match a token suffix, left-to-right non-overlapping like
+    // the kernel's scan; the recursive CTE walks the rank-ordered merge list
+    // picking the first applicable entry until none applies
+    "q_bpe" -> s"""
+      WITH RECURSIVE $normDocsCte,
+      words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM norm_docs),
+      nwords AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY 1),
+      uwords AS (SELECT DISTINCT w AS word FROM words WHERE w <> ''),
+      walk(word, seg) AS (
+        SELECT word,
+               '${graft.text.Bpe.Sep}' || array_to_string(
+                 list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)),
+                 '${graft.text.Bpe.Sep}') || '${graft.text.Bpe.Sep}'
+        FROM uwords
+        UNION ALL
+        SELECT word, replace(seg, appl[1].pat, appl[1].rep)
+        FROM (SELECT word, seg,
+                     list_filter(${graft.text.Bpe.mergesSqlLiteral},
+                       x -> contains(seg, x.pat)) AS appl
+              FROM walk) t
+        WHERE len(appl) > 0),
+      final AS (
+        SELECT word, seg FROM walk
+        WHERE len(list_filter(${graft.text.Bpe.mergesSqlLiteral},
+                x -> contains(seg, x.pat))) = 0),
+      wtok AS (SELECT word,
+                      length(seg) - length(replace(seg, '${graft.text.Bpe.Sep}', '')) - 1 AS n_sub
+               FROM final),
+      persub AS (SELECT w.doc_id, SUM(t.n_sub) AS n_subwords
+                 FROM words w JOIN wtok t ON w.w = t.word GROUP BY 1)
+      SELECT n.doc_id, CAST(COALESCE(p.n_subwords, 0) AS BIGINT) AS n_subwords,
+             CAST(n.n_words AS BIGINT) AS n_words
+      FROM nwords n LEFT JOIN persub p ON n.doc_id = p.doc_id
+      ORDER BY n.doc_id""",
+
     // greedy longest-match-first WordPiece, replayed exactly: per word
     // position, the best (longest) vocab piece is a plain aggregation; the
     // recursive CTE then WALKS the greedy chain (pos -> pos + best_len), so
