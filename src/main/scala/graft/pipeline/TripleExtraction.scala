@@ -56,11 +56,20 @@ object TripleExtraction {
     * scan in production. `inject = true` scores through the
     * knowledge-injection kernel (KIRE's actual configuration: KG structure,
     * attributes, and coref fused into the decode) instead of the base
-    * scorer — same sinks, lineage, and resume semantics. Returns metrics
-    * for the buckets processed in THIS invocation (empty if everything was
+    * scorer — same sinks, lineage, and resume semantics.
+    *
+    * `gold` (a labeled slice — dev set, audit sample) turns on post-run
+    * eval telemetry: after the last bucket commits, the job appends ONE
+    * `"status":"metrics"` line to the lineage manifest carrying the
+    * distributed theta sweep's best operating point (W2's `thetaSweepBinned`
+    * — bounded at ≤ nBins rows driver-side, never the exact row sweep) and
+    * recall per sentence-distance bucket (A13) — the production job's own
+    * PR/recall telemetry, not a separate eval run. Returns metrics for the
+    * buckets processed in THIS invocation (empty if everything was
     * already done). */
   def run(pages: DataFrame, outDir: String, spark: SparkSession,
-          lang: Option[String] = None, inject: Boolean = false): RunMetrics = {
+          lang: Option[String] = None, inject: Boolean = false,
+          gold: Option[DataFrame] = None): RunMetrics = {
     Files.createDirectories(Paths.get(outDir))
     val done = doneBuckets(outDir)
     val pending = (0 until NumBuckets).filterNot(done)
@@ -81,9 +90,13 @@ object TripleExtraction {
     // to their staged twins in FusedSpec/InjectionSpec); linked mentions
     // are still derived once (single broadcast probe) for canonicalization
     val linked = Stages.linkedFast(Stages.mentionsKernel(work, spark), spark).cache()
-    val scored = (if (inject) KnowledgeInjection.extractInjectedFused(work, spark)
-                  else RelationScorer.extractKernelFused(work, spark))
-      .select("doc_id", "subj", "pred", "obj")
+    // the injected kernel scores in fixed-point millis; normalize so the
+    // telemetry sweep sees one double `score` column from either kernel
+    val scoredFull =
+      (if (inject) KnowledgeInjection.extractInjectedFused(work, spark)
+         .withColumn("score", col("score_milli") / lit(1000.0))
+       else RelationScorer.extractKernelFused(work, spark))
+    val scored = scoredFull.select("doc_id", "subj", "pred", "obj")
     val canonical = Canonicalize(scored, linked, spark)
       .join(work.select(col("doc_id"), col("bucket")).distinct(), Seq("doc_id"))
       .cache()
@@ -101,6 +114,30 @@ object TripleExtraction {
       // commit point: the bucket's data is fully written before this line
       Files.write(manifestPath(outDir),
         (s"""{"bucket":$b,"status":"done","n_triples":$n,"wall_ms":$wallB}""" + "\n").getBytes,
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+    // post-run eval telemetry (only with a labeled slice): best operating
+    // point from the BINNED sweep (driver sees ≤ nBins rows) + per-distance
+    // recall (≤ 13 bucket rows) — appended after every bucket's commit so a
+    // crash mid-metrics never loses lineage
+    gold.foreach { g =>
+      val sweep = graft.eval.Evaluator.thetaSweepBinned(
+        scoredFull.select(col("doc_id"), col("subj"), col("pred"), col("obj"),
+          col("score")), g)
+      val bestOpt = sweep.filter(col("is_best")).collect().headOption
+      val rec = graft.eval.Evaluator.recallByDistanceBucket(
+          canonical.select("doc_id", "subj", "pred", "obj"), g,
+          RelationScorer.pairFeatures(linked))
+        .orderBy(col("bucket")).collect()
+        .map(r => s"""{"bucket":${r.getInt(0)},"n_gold":${r.getLong(1)},""" +
+          s""""recall_permille":${r.getLong(3)}}""")
+        .mkString("[", ",", "]")
+      val head = bestOpt.map { b =>
+        f""""best_theta":${b.getDouble(1)}%.6f,"p_permille":${b.getLong(5)},""" +
+          s""""r_permille":${b.getLong(6)},"f1_permille":${b.getLong(7)},"""
+      }.getOrElse("")
+      Files.write(manifestPath(outDir),
+        (s"""{"status":"metrics",$head"recall_by_dist":$rec}""" + "\n").getBytes,
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }
     work.unpersist()

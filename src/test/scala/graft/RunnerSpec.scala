@@ -120,6 +120,37 @@ class RunnerSpec extends AnyFunSuite {
     assert(TripleExtraction.run(DocRED.asPages(docs), out, spark).buckets.isEmpty)
   }
 
+  test("gold slice turns on the post-run metrics block in the lineage manifest") {
+    val out = Files.createTempDirectory("graft_runm").toString
+    val pages = Pages.fromDocuments(spark, sfDir)
+    // gold == the kernel's own raw predictions: the sweep must then find a
+    // perfect operating point (p = r = f1 = 1000 permille)
+    val gold = pipeline.RelationScorer.extractKernelFused(pages, spark)
+      .select("doc_id", "subj", "pred", "obj").distinct().cache()
+    val m = TripleExtraction.run(pages, out, spark, gold = Some(gold))
+    assert(m.triples > 0)
+    val lines = Files.readAllLines(
+      java.nio.file.Paths.get(out, "_lineage.jsonl")).toArray.map(_.toString)
+    // one metrics line, after every bucket's commit line
+    val metrics = lines.filter(_.contains("\"status\":\"metrics\""))
+    assert(metrics.length == 1 && lines.last == metrics.head)
+    assert(lines.length == TripleExtraction.NumBuckets + 1)
+    val mj = metrics.head
+    def permille(k: String): Long =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(mj).get.group(1).toLong
+    assert(permille("p_permille") == 1000, mj)
+    assert(permille("r_permille") == 1000, mj)
+    assert(permille("f1_permille") == 1000, mj)
+    // recall-by-distance: bounded bucket array whose gold mass is the gold set
+    val nGold = """"n_gold":(\d+)""".r.findAllMatchIn(mj).map(_.group(1).toLong).toSeq
+    assert(nGold.nonEmpty && nGold.sum == gold.count(), mj)
+    // resume replays nothing and must NOT append a second metrics block
+    assert(TripleExtraction.run(pages, out, spark, gold = Some(gold)).buckets.isEmpty)
+    val after = Files.readAllLines(java.nio.file.Paths.get(out, "_lineage.jsonl"))
+    assert(after.size == TripleExtraction.NumBuckets + 1)
+    gold.unpersist()
+  }
+
   test("partial manifest: only missing buckets are replayed") {
     val out = Files.createTempDirectory("graft_run2").toString
     val pages = Pages.fromDocuments(spark, sfDir)
