@@ -43,7 +43,11 @@ object Scaling {
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
       .config("spark.sql.shuffle.partitions", "96")
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_AQE=off isolates what AQE's runtime re-planning (skew
+      // split, coalesce) contributes vs explicit salting — the enrich jobs'
+      // salted-vs-unsalted triangle needs both states measured
+      .config("spark.sql.adaptive.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_AQE", "on") != "off").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // split sizing is a property of the DATA too: the default 128 MB
@@ -84,7 +88,13 @@ object Scaling {
     *    fused path, FusedSpec);
     *  - "injected": the same front end feeding the ZERO-SHUFFLE fused
     *    knowledge-injection kernel (broadcast-KB entity knowledge +
-    *    96-class decode) — the complete KIRE-shaped pipeline. */
+    *    96-class decode) — the complete KIRE-shaped pipeline;
+    *  - "enrich": the big-KB attribute-enrichment join
+    *    (`Enrich.attachAttributesLarge` — salted SMJ, the north_star
+    *    "sort-merge join on canonical entity id" shape) over a Zipfian
+    *    16M-mention table ⋈ 10M-row synthetic attr table;
+    *  - "enrich_unsalted": the IDENTICAL join with an empty hot-key set
+    *    (same code path, salt 0 everywhere) — isolates the salting delta. */
   // lazy val: the job/dict selection is read and validated exactly ONCE per
   // process — a mid-run env mutation can never mix kernels (or dictionaries)
   // within one sweep's output labels
@@ -92,7 +102,8 @@ object Scaling {
     val j = sys.env.getOrElse("SPARK_GRAFT_JOB", "rule")
     // a typo must fail loudly, not silently bench the rule kernel under
     // the typo'd label
-    require(j == "rule" || j == "injected", s"SPARK_GRAFT_JOB must be rule|injected, got: $j")
+    require(Set("rule", "injected", "enrich", "enrich_unsalted").contains(j),
+      s"SPARK_GRAFT_JOB must be rule|injected|enrich|enrich_unsalted, got: $j")
     j
   }
 
@@ -120,11 +131,86 @@ object Scaling {
     case _ => Stages.kernelDict
   }
 
+  // enrich-job corpus: a Zipfian mention table and a ≥10M-row narrow attr
+  // table. Zipf via inverse-CDF of the 1/rank law: rank = floor(Nq^u) for a
+  // deterministic per-row uniform u — the head key holds ~|mentions|/ln(Nq)
+  // rows (~1.1M), rank 10 ~110k, rank 100 ~11k: real KB-entity popularity.
+  val EnrichMentions = 16000000L
+  val EnrichQids = 2500000L // × 4 attr kinds = 10M attr rows
+  val EnrichHotThreshold = 50000L
+  val EnrichSaltFactor = 8
+
+  /** SPARK_GRAFT_HEAD_PERMILLE routes that share of mentions onto ONE qid
+    * (Q0) on top of the Zipf base — the parked-domain / "human" hub case.
+    * 0 (default) = pure Zipf, whose natural head holds ~7% of mentions. */
+  lazy val EnrichHeadPermille: Int = {
+    val h = sys.env.getOrElse("SPARK_GRAFT_HEAD_PERMILLE", "0").toInt
+    require(h >= 0 && h < 1000, s"SPARK_GRAFT_HEAD_PERMILLE in [0,1000), got $h")
+    h
+  }
+
+  /** Materialize the enrich tables once (layout-tokened like the corpus). */
+  def materializedEnrich(spark: SparkSession): (String, String) = {
+    val layoutV = "v1_96f"
+    val base = s"/tmp/graft_scaling_enrich_${layoutV}_m${EnrichMentions}_q${EnrichQids}_h$EnrichHeadPermille"
+    val mPath = s"$base/mentions"; val aPath = s"$base/attrs"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(aPath, "_SUCCESS"))) {
+      // independent per-row hash decides head membership; the Zipf
+      // inverse-CDF fills the rest (multipliers sized so id×m stays far
+      // under Long.MaxValue — a silent wrap would skew the distribution)
+      val zipfQid = least(
+        floor(pow(lit(EnrichQids.toDouble),
+          (col("id") * 2654435761L % 1000003L) / 1000003.0)) - 1,
+        lit(EnrichQids - 1)).cast("long")
+      spark.range(EnrichMentions)
+        .select(col("id").as("mention_id"),
+          concat(lit("Q"),
+            when((col("id") * 1499533L % 999983L) / 999983.0
+                   < EnrichHeadPermille / 1000.0, lit(0L))
+              .otherwise(zipfQid)).as("qid"))
+        .repartition(96).write.mode("overwrite").parquet(mPath)
+      spark.range(EnrichQids)
+        .select(concat(lit("Q"), col("id")).as("qid"),
+          explode(typedLit(Seq("label", "description", "instance of", "alias")))
+            .as("kind"))
+        .select(col("qid"), col("kind"),
+          concat(col("qid"), lit("_"), col("kind")).as("text"))
+        .repartition(96).write.mode("overwrite").parquet(aPath)
+    }
+    (mPath, aPath)
+  }
+
+  /** One timed enrich join: hot-key detection (part of the production job)
+    * + salted SMJ attribute attach + a checksum aggregate that forces the
+    * fill columns to materialize (a bare count could prune the join output).
+    * The unsalted twin passes an EMPTY hot set through the same code path. */
+  private def runEnrichOnce(spark: SparkSession): (Long, Long, Double) = {
+    val (mPath, aPath) = materializedEnrich(spark)
+    val nMentions = spark.read.parquet(mPath).count()
+    val t0 = System.nanoTime()
+    val mentions = spark.read.parquet(mPath)
+    val attrs = spark.read.parquet(aPath)
+    val hot =
+      if (Job == "enrich") graft.ops.Skew.hotKeys(mentions, "qid", EnrichHotThreshold)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid",
+            org.apache.spark.sql.types.StringType))))
+    val joined = graft.pipeline.Enrich.attachAttributesLarge(
+      mentions, attrs, hot, EnrichSaltFactor)
+    val out = joined.agg(count(lit(1)).as("n"),
+      sum(length(col("instance_of"))).as("chk")).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    (nMentions, out.getLong(0), secs)
+  }
+
   /** One timed end-to-end extraction over the selected production path.
     * Dictionary load/resolve happens OUTSIDE the timed section — it is
     * per-job setup (the reference loads its pickled dict once too), and
     * the measurement target is per-document throughput. */
   def runOnce(spark: SparkSession, sfDir: String): (Long, Long, Double) = {
+    if (Job.startsWith("enrich")) return runEnrichOnce(spark)
     val corpus = materializedCorpus(spark, sfDir)
     val nDocs = spark.read.parquet(corpus).count()
     val dict = if (Job == "rule") ruleDict(spark) else null
