@@ -24,7 +24,10 @@ object ResultJson {
     * (`evaluation.py:27-41`); mapping (h_idx, t_idx) through the voted
     * entity ids reproduces the ungated kernel triples exactly. */
   def officialPredictions(docs: DataFrame, entityIds: DataFrame,
-                          spark: SparkSession): DataFrame = {
+                          spark: SparkSession,
+                          maxDisBucket: Int =
+                            graft.pipeline.RelationScorer.MaxDisBucketDocRED)
+      : DataFrame = {
     import graft.pipeline.RelationScorer
     val feats = graft.docred.DocRED.pairFeatures(docs, entityIds)
       .withColumn("doc_id", xxhash64(col("title")))
@@ -34,10 +37,11 @@ object ResultJson {
       feats.select(col("doc_id"),
         col("h").cast("string").as("h_qid"), col("h_type"),
         col("t").cast("string").as("t_qid"), col("t_type"),
-        col("min_sent_dist"), col("n_cooc"), col("evidence")), spark)
+        col("min_sent_dist"), col("n_cooc"), col("evidence")), spark,
+      maxDisBucket)
     val dis = feats.select(col("doc_id"),
       col("h").cast("string").as("subj"), col("t").cast("string").as("obj"),
-      RelationScorer.disBucketCol(col("min_sent_dist")).as("dis"))
+      RelationScorer.disBucketCol(col("min_sent_dist"), maxDisBucket).as("dis"))
     scored.join(titleMap, "doc_id")
       .join(dis, Seq("doc_id", "subj", "obj"))
       .select(col("title"), col("subj").cast("int").as("h_idx"),

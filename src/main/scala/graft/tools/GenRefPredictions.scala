@@ -57,12 +57,17 @@ object GenRefPredictions {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      gen(spark, "src/test/resources/docred_corpus.jsonl", "docred")
-      gen(spark, "src/test/resources/dwie_corpus.jsonl", "dwie")
+      gen(spark, "src/test/resources/docred_corpus.jsonl", "docred",
+        graft.pipeline.RelationScorer.MaxDisBucketDocRED)
+      // DWIE scores on its own 12-rung dis2idx ladder
+      // (SSAN+KIRE/dataset.py:89-102) — fixture and engine must agree
+      gen(spark, "src/test/resources/dwie_corpus.jsonl", "dwie",
+        graft.pipeline.RelationScorer.MaxDisBucketDwie)
     } finally spark.stop()
   }
 
-  def gen(spark: SparkSession, corpusPath: String, name: String): Unit = {
+  def gen(spark: SparkSession, corpusPath: String, name: String,
+          maxDisBucket: Int): Unit = {
     import graft.docred.DocRED
     import graft.kb.{DocREDVocab, Gazetteer}
     import graft.pipeline.RelationScorer
@@ -86,7 +91,7 @@ object GenRefPredictions {
       .empty[(String, Int, Int, Array[Double], Int, Seq[Int])]
     feats.foreach { case (title, h, t, hType, tType, msd, cooc, ev) =>
       val logits = Array.fill(NumClasses)(0.0)
-      val soft = r3(-0.05 * RelationScorer.disBucket(msd) +
+      val soft = r3(-0.05 * RelationScorer.disBucket(msd, maxDisBucket) +
         0.1 * math.log1p(cooc.toDouble))
       val ruleIs = relIdx.getOrElse((hType, tType), Nil)
       var i = 1
@@ -108,7 +113,7 @@ object GenRefPredictions {
       logitLines.append(
         s"""{"title":"$title","h_idx":$h,"t_idx":$t,"logits":$lj}""" + "\n")
       pairRows += ((title, h, t, logits,
-        RelationScorer.disBucket(msd), ev))
+        RelationScorer.disBucket(msd, maxDisBucket), ev))
     }
     Files.createDirectories(Paths.get(OutDir))
     Files.writeString(Paths.get(s"$OutDir/${name}_ref_logits.jsonl"),

@@ -54,10 +54,23 @@ class ReferenceGateSpec extends AnyFunSuite {
     }
   }
 
-  private def gate(corpus: String, name: String): (Long, Long, Long, Long) = {
+  private def gate(corpus: String, name: String,
+                   maxDisBucket: Int): (Long, Long, Long, Long) = {
     val docs = DocRED.read(spark, res(corpus)).cache()
     val eids = DocRED.linkEntities(docs, spark)
-    val engine = ResultJson.officialPredictions(docs, eids, spark)
+    val engineFull =
+      ResultJson.officialPredictions(docs, eids, spark, maxDisBucket)
+    // format fidelity beyond (title,h,t,r): wherever engine and reference
+    // agree on a prediction, the dis field (the corpus's dis2idx ladder —
+    // DWIE's 12 rungs vs DocRED's 9) must agree too
+    val committedFull = ResultJson.read(spark,
+      res(s"/ref_predictions/${name}_ref_result.json"))
+    val disClash = engineFull.as("e")
+      .join(committedFull.as("c"), Seq("title", "h_idx", "t_idx", "r"))
+      .filter(col("e.dis") =!= col("c.dis")).count()
+    assert(disClash == 0,
+      s"$name: $disClash agreeing predictions carry a different dis bucket")
+    val engine = engineFull
       .select(col("title").as("doc_id"), col("h_idx").cast("string").as("subj"),
         col("r").as("pred"), col("t_idx").cast("string").as("obj"))
     val reference = ResultJson.read(spark,
@@ -71,7 +84,8 @@ class ReferenceGateSpec extends AnyFunSuite {
   }
 
   test("DocRED gate: engine P/R >= 0.95 vs committed reference predictions") {
-    val (p, r, nPred, nCorrect) = gate("/docred_corpus.jsonl", "docred")
+    val (p, r, nPred, nCorrect) = gate("/docred_corpus.jsonl", "docred",
+      graft.pipeline.RelationScorer.MaxDisBucketDocRED)
     assert(p >= 950, s"precision $p permille below the 950 gate")
     assert(r >= 950, s"recall $r permille below the 950 gate")
     // the committed disagreement slices are LIVE: the gate measures a real
@@ -81,12 +95,30 @@ class ReferenceGateSpec extends AnyFunSuite {
   }
 
   test("DWIE gate: engine P/R >= 0.95 vs committed reference predictions") {
-    val (p, r, nPred, nCorrect) = gate("/dwie_corpus.jsonl", "dwie")
+    val (p, r, nPred, nCorrect) = gate("/dwie_corpus.jsonl", "dwie",
+      graft.pipeline.RelationScorer.MaxDisBucketDwie)
     assert(p >= 950, s"precision $p permille below the 950 gate")
     assert(r >= 950, s"recall $r permille below the 950 gate")
     // same liveness bar as DocRED: the 60-doc DWIE-shaped corpus carries
     // committed disagreement slices, so the gate measures < 1.0 agreement
     assert(p < 1000 && nCorrect < nPred,
       "fixture must contain reference/engine disagreements")
+  }
+
+  test("DWIE ladder rungs 10-12 flow through the gate end-to-end") {
+    // the three DW_L* long articles pin min_sent_dist into the DWIE-only
+    // dis2idx rungs; the committed fixture must carry them (i.e. it was
+    // generated ON the 12-rung ladder, not DocRED's 9-rung one)
+    val committed = ResultJson.read(spark,
+      res("/ref_predictions/dwie_ref_result.json"))
+    val rungs = committed.filter(col("dis") > 9)
+      .select("dis").distinct().collect().map(_.getInt(0)).sorted
+    assert(rungs.toSeq == Seq(10, 11, 12),
+      s"expected DWIE-only rungs 10,11,12 in the fixture, got ${rungs.toSeq}")
+    // and the DocRED fixture, on its own ladder, must cap at 9
+    val docredMax = ResultJson.read(spark,
+        res("/ref_predictions/docred_ref_result.json"))
+      .agg(max(col("dis"))).head.getInt(0)
+    assert(docredMax <= 9, s"DocRED fixture dis must cap at 9, got $docredMax")
   }
 }
