@@ -368,6 +368,17 @@ object SparkEntry {
       ops.TextAnalysis.repetitionStats(ops.Corpora.normDocs(s, dir), s)
         .orderBy(col("doc_id"))),
 
+    // benchmark decontamination: the doc_id % 97 == 0 slice poses as the
+    // eval set; every remaining corpus doc is annotated with its distinct
+    // n-gram overlap against it (zero-hit docs included)
+    "q_decontam" -> ((s, dir) => {
+      val docs = ops.Corpora.normDocs(s, dir)
+      ops.TextAnalysis.decontaminationStats(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII detect + scrub over the corpus with planted PII rows
     "q_pii" -> ((s, dir) =>
       ops.TextAnalysis.piiStats(
@@ -1332,6 +1343,34 @@ object SparkEntry {
              COALESCE((g.max_gram * 1000) // g.n_grams, 0) AS top_gram_permille
       FROM base b LEFT JOIN gt g ON b.doc_id = g.doc_id
       ORDER BY b.doc_id""",
+
+    // decontamination: distinct word n-grams per doc (1-based slice ==
+    // Spark's slice(toks, i, n)), benchmark = the doc_id % 97 == 0 slice,
+    // integer permille, LEFT JOIN keeps zero-hit docs
+    "q_decontam" -> {
+      import graft.ops.{TextAnalysis => TA}
+      s"""
+      WITH $normDocsCte,
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM norm_docs),
+      g AS (SELECT DISTINCT doc_id,
+                   array_to_string(toks[i : i + ${TA.DecontamN - 1}], ' ') AS gram
+            FROM t, UNNEST(generate_series(1, greatest(len(toks) - ${TA.DecontamN - 1}, 0))) AS u(i)),
+      bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      corpus AS (SELECT doc_id FROM t WHERE doc_id % 97 <> 0),
+      gcnt AS (SELECT doc_id, COUNT(*) AS n FROM g WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+      hits AS (SELECT g.doc_id, COUNT(*) AS h
+               FROM g JOIN bench USING (gram) WHERE g.doc_id % 97 <> 0
+               GROUP BY g.doc_id)
+      SELECT c.doc_id,
+             CAST(COALESCE(gc.n, 0) AS BIGINT) AS n_ngrams,
+             CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+             CAST(COALESCE(h.h * 1000 // gc.n, 0) AS BIGINT) AS contam_permille,
+             COALESCE(h.h, 0) >= ${TA.DecontamMinHits} AS contaminated
+      FROM corpus c
+      LEFT JOIN gcnt gc ON c.doc_id = gc.doc_id
+      LEFT JOIN hits h ON c.doc_id = h.doc_id
+      ORDER BY c.doc_id"""
+    },
 
     "q_pii" -> {
       import graft.ops.{TextAnalysis => TA}

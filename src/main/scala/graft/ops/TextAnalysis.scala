@@ -269,6 +269,67 @@ object TextAnalysis {
           .as("top_gram_permille"))
   }
 
+  // decontamination constants, shared with the q_decontam oracle: word
+  // n-gram size and the flag threshold (real pipelines run 13-grams —
+  // GPT-3 appendix C / Llama 2 use 13-token overlap; the synthetic corpus'
+  // 10-99-token docs only express overlap at 3-grams, measured live at
+  // sf0.01: 171 docs ≥ 1 hit, 10 docs ≥ 3)
+  val DecontamN = 3
+  val DecontamMinHits = 3
+
+  /** Distinct word `n`-grams of `text`, in-row (1-based slice — identical
+    * to the oracle's `toks[i : i+n-1]`); empty array when the doc is
+    * shorter than `n` tokens. */
+  def ngramsCol(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+  }
+
+  /** Benchmark DECONTAMINATION (the GPT-3/Llama-class eval-overlap filter):
+    * per corpus doc, how many of its distinct word n-grams appear anywhere
+    * in the benchmark/eval set, and a `contaminated` flag at `minHits`.
+    *
+    * Scale shape: the benchmark side is an EVAL SET — bounded by
+    * definition (10^3–10^5 docs) — so its distinct-n-gram table is
+    * broadcast and the corpus side stays map-local: in-row n-gram
+    * generation, explode, broadcast-hash probe, partial count before the
+    * one (doc_id-keyed) shuffle. Every corpus doc is returned (zero-hit
+    * docs included) so the output is a total annotation, not a hit list.
+    * If an oversized benchmark ever outgrows the broadcast ceiling the
+    * same plan runs as an SMJ with identical semantics — drop the
+    * broadcast hint, nothing else changes. */
+  def decontaminationStats(docs: DataFrame, bench: DataFrame,
+                           n: Int = DecontamN,
+                           minHits: Int = DecontamMinHits): DataFrame = {
+    val benchGrams = bench
+      .select(explode(ngramsCol(col("text"), n)).as("gram")).distinct()
+    val hits = docs
+      .select(col("doc_id"), explode(ngramsCol(col("text"), n)).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    docs.select(col("doc_id"),
+        size(ngramsCol(col("text"), n)).cast("long").as("n_ngrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(expr("(n_hits * 1000) div n_ngrams"), lit(0L))
+          .as("contam_permille"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
+  /** The filter form: corpus docs with the contaminated rows removed. */
+  def decontaminate(docs: DataFrame, bench: DataFrame,
+                    n: Int = DecontamN,
+                    minHits: Int = DecontamMinHits): DataFrame =
+    docs.join(
+      decontaminationStats(docs, bench, n, minHits)
+        .filter(col("contaminated")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   /** Cross-document duplicate-SPAN statistics — substring-level dedup (the
     * class of filter that trims spans copied across pages, distinct from
     * the whole/near-doc dedup family), re-expressed on winnowing

@@ -571,6 +571,42 @@ class OpsSpec extends AnyFunSuite {
     assert(meta(("RIFFxxxxWAVEfmt " + "y" * 40).getBytes("UTF-8")).kind == "raw")
   }
 
+  test("decontamination flags planted eval overlap, keeps zero-hit docs, filters") {
+    import spark.implicits._
+    val bench = Seq((900L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // 5 shared tokens -> 3 distinct shared 3-grams -> flagged at minHits=3
+      (1L, "intro alpha beta gamma delta epsilon outro words"),
+      // exactly one shared 3-gram -> annotated, NOT flagged
+      (2L, "alpha beta gamma unrelated trailing tokens here"),
+      // the shared 3-gram repeated twice still counts ONCE (distinct grams)
+      (3L, "alpha beta gamma filler alpha beta gamma filler2"),
+      // no overlap -> zero-hit row must still be present
+      (4L, "completely disjoint vocabulary in this document"),
+      // shorter than n tokens -> zero n-grams, zero hits, no div-by-zero
+      (5L, "tiny doc")).toDF("doc_id", "text")
+    val stats = TextAnalysis.decontaminationStats(corpus, bench)
+      .orderBy("doc_id").collect()
+    assert(stats.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val byId = stats.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(byId(1L)._2 == 3 && byId(1L)._4, s"doc 1: ${byId(1L)}")
+    assert(byId(2L)._2 == 1 && !byId(2L)._4)
+    assert(byId(3L)._2 == 1 && !byId(3L)._4, "repeated gram must count once")
+    assert(byId(4L) == ((4L, 0L, 0L, false)))
+    assert(byId(5L) == ((0L, 0L, 0L, false)))
+    // permille arithmetic: doc 1 has 6 distinct 3-grams, 3 hits -> 500
+    assert(byId(1L)._1 == 6 && byId(1L)._3 == 500)
+    // the filter form drops exactly the flagged doc
+    assert(TextAnalysis.decontaminate(corpus, bench)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L, 5L))
+    // scale shape: the benchmark n-gram side must come in as a broadcast
+    val plan = TextAnalysis.decontaminationStats(corpus, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("multimodal kernel output matches metadata contract") {
     val meta = Multimodal.decodeMeta(docs, spark).toDF().cache()
     assert(meta.filter(col("width") < 32 || col("width") >= 672).count() == 0)
