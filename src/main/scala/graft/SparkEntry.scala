@@ -379,6 +379,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-class LM perplexity scoring: the doc_id % 7 == 0 slice poses
+    // as the curated reference corpus; every remaining doc is scored by
+    // integer-quantized bigram NLL under the Laplace-smoothed model
+    "q_perplexity" -> ((s, dir) => {
+      val docs = ops.Corpora.normDocs(s, dir)
+      ops.LanguageModel.perplexityStats(
+          docs.filter(col("doc_id") % ops.LanguageModel.TrainMod =!= 0),
+          docs.filter(col("doc_id") % ops.LanguageModel.TrainMod === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII detect + scrub over the corpus with planted PII rows
     "q_pii" -> ((s, dir) =>
       ops.TextAnalysis.piiStats(
@@ -1370,6 +1381,47 @@ object SparkEntry {
       LEFT JOIN gcnt gc ON c.doc_id = gc.doc_id
       LEFT JOIN hits h ON c.doc_id = h.doc_id
       ORDER BY c.doc_id"""
+    },
+
+    // bigram-LM perplexity: train slice = doc_id % TrainMod == 0, '<s>'
+    // first context, OOV → '<unk>', Laplace (cbi+1)/(cctx+|V|+1); per-token
+    // quanta floor(-ln(p)*1e4 + 0.5) are INTEGERS so the per-doc sum is
+    // order-exact (only ln of an identical double crosses engines)
+    "q_perplexity" -> {
+      import graft.ops.{LanguageModel => LM}
+      s"""
+      WITH $normDocsCte,
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM norm_docs),
+      tb AS (SELECT CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END AS prev,
+                    toks[i] AS w
+             FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)
+             WHERE doc_id % ${LM.TrainMod} = 0),
+      bi AS (SELECT prev, w, COUNT(*) AS cbi FROM tb GROUP BY 1, 2),
+      ctx AS (SELECT prev, COUNT(*) AS cctx FROM tb GROUP BY 1),
+      voc AS (SELECT DISTINCT w FROM tb),
+      vt AS (SELECT COUNT(*) + 1 AS vtot FROM voc),
+      ev AS (SELECT doc_id,
+               CASE WHEN i = 1 THEN '<s>'
+                    WHEN toks[i - 1] IN (SELECT w FROM voc) THEN toks[i - 1]
+                    ELSE '<unk>' END AS prev,
+               CASE WHEN toks[i] IN (SELECT w FROM voc) THEN toks[i]
+                    ELSE '<unk>' END AS w
+             FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)
+             WHERE doc_id % ${LM.TrainMod} <> 0),
+      q AS (SELECT e.doc_id,
+              CAST(floor(-ln((COALESCE(bi.cbi, 0) + 1.0) /
+                             (COALESCE(ctx.cctx, 0) + vt.vtot))
+                         * ${LM.LogQuant} + 0.5) AS BIGINT) AS q
+            FROM ev e
+            CROSS JOIN vt
+            LEFT JOIN bi ON e.prev = bi.prev AND e.w = bi.w
+            LEFT JOIN ctx ON e.prev = ctx.prev)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(q) AS BIGINT) AS nll_e4,
+             CAST(SUM(q) // COUNT(*) AS BIGINT) AS avg_nll_e4,
+             (SUM(q) // COUNT(*)) > ${LM.FlagAvgNllE4} AS low_quality
+      FROM q GROUP BY doc_id ORDER BY doc_id"""
     },
 
     "q_pii" -> {

@@ -607,6 +607,30 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("bigram-LM perplexity matches hand-computed quanta, flags and filters") {
+    import spark.implicits._
+    val train = Seq((700L, "a b a b")).toDF("doc_id", "text")
+    // model: cbi (<s>,a)=1 (a,b)=2 (b,a)=1; cctx <s>=1 a=2 b=1; |V|=2, vtot=3
+    val corpus = Seq(
+      // (<s>,a) p=2/4 → 6931; (a,b) p=3/5 → 5108; (b,<unk>) p=1/4 → 13863
+      (1L, "a b c"),
+      // (<s>,<unk>) p=1/4 → 13863; (<unk>,<unk>) p=1/3 → 10986
+      (2L, "z z")).toDF("doc_id", "text")
+    val stats = LanguageModel.perplexityStats(corpus, train, flagAvgNllE4 = 10000L)
+      .orderBy("doc_id").collect()
+    assert(stats.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq == Seq(
+      (1L, 3L, 25902L, 8634L, false),
+      (2L, 2L, 24849L, 12424L, true)))
+    assert(LanguageModel.perplexityFilter(corpus, train, 10000L)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // scale shape: model probes are broadcast, never sort-merge
+    val plan = LanguageModel.perplexityStats(corpus, train)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      plan.take(2000))
+  }
+
   test("multimodal kernel output matches metadata contract") {
     val meta = Multimodal.decodeMeta(docs, spark).toDF().cache()
     assert(meta.filter(col("width") < 32 || col("width") >= 672).count() == 0)
