@@ -356,6 +356,23 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))),
 
     // per-source quota sampling (domain balancing, deterministic hash keep)
+    // data-mixture sampling: the per-source permille recipe applied by
+    // content hash (map-side filter, zero shuffle)
+    "q_mixture" -> ((s, dir) =>
+      ops.Sampling.sampleByRate(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "source"),
+          "source", "doc_id",
+          ops.Sampling.MixtureRates, ops.Sampling.MixtureDefaultPermille)
+        .orderBy(col("doc_id"))),
+
+    // deterministic global shuffle + shard layout for training runs
+    "q_shards" -> ((s, dir) =>
+      ops.Sharding.shuffleShards(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+          ops.Sharding.DemoShards)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))),
+
     "q_quota" -> ((s, dir) =>
       ops.Sampling.capPerKey(
         s.read.parquet(s"$dir/documents.parquet")
@@ -1321,6 +1338,37 @@ object SparkEntry {
                                   CAST(chunk_id * $st + $mx AS INT)], ' ')
                AS chunk_text
       FROM e ORDER BY doc_id, chunk_id"""
+    },
+
+    // mixture: thresholds are r*4096/1000 in INTEGER math, the keep test
+    // compares the first 12 hash bits — identical arithmetic both engines
+    "q_mixture" -> {
+      import graft.ops.{Sampling => SA}
+      val cases = SA.MixtureRates.toSeq.sorted.map { case (k, r) =>
+        s"WHEN '$k' THEN ${r * 4096 / 1000}"
+      }.mkString(" ")
+      val dflt = SA.MixtureDefaultPermille * 4096 / 1000
+      s"""
+      SELECT doc_id, source FROM documents
+      WHERE CAST(concat('0x', substr(md5(source || '|' || doc_id::VARCHAR), 1, 3)) AS INT)
+            < CASE source $cases ELSE $dflt END
+      ORDER BY doc_id"""
+    },
+
+    "q_shards" -> {
+      import graft.ops.{Sharding => SH}
+      s"""
+      WITH k AS (SELECT doc_id,
+                   md5('${SH.ShuffleSeed}' || '|' || doc_id::VARCHAR) AS key
+                 FROM documents),
+      s AS (SELECT doc_id, key,
+              CAST(CAST(concat('0x', substr(key, 1, 8)) AS BIGINT)
+                   % ${SH.DemoShards} AS INT) AS shard
+            FROM k)
+      SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard
+               ORDER BY key, doc_id) AS INT) AS pos
+      FROM s ORDER BY shard, pos"""
     },
 
     "q_quota" -> """

@@ -42,6 +42,40 @@ object Sampling {
       .drop("_h")
   }
 
+  /** Demo mixture recipe shared with the q_mixture oracle: full src0,
+    * half src1, quarter src2, src3 dropped, everything else at the
+    * default 750‰. */
+  val MixtureRates: Map[String, Int] =
+    Map("src0" -> 1000, "src1" -> 500, "src2" -> 250, "src3" -> 0)
+  val MixtureDefaultPermille = 750
+
+  /** Data-mixture sampling (source re-weighting — the "X% web, Y% code,
+    * Z% reference" recipe every LLM training mix specifies): keep a row
+    * with its source's permille rate, decided by content hash so the mix
+    * is invariant under partitioning, retries, and engine. A row survives
+    * iff `int(md5(key|id)[0:3]) < rate * 4096 / 1000` — integer arithmetic
+    * on a 12-bit hash band, exactly replayable in SQL (granularity 1/4096
+    * ≈ 0.24‰). Sources absent from `ratesPermille` keep `defaultPermille`.
+    *
+    * Scale shape: a pure map-side filter — literal-map lookup + md5 + one
+    * comparison per row, zero shuffle, codegen'd end-to-end. */
+  def sampleByRate(df: DataFrame, key: String, id: String,
+                   ratesPermille: Map[String, Int],
+                   defaultPermille: Int = 1000): DataFrame = {
+    (ratesPermille.values ++ Seq(defaultPermille)).foreach(r =>
+      require(r >= 0 && r <= 1000, s"sampleByRate: rate permille out of [0,1000]: $r"))
+    val thresholds = ratesPermille.map { case (k, r) => k -> r * 4096 / 1000 }
+    val defaultThreshold = defaultPermille * 4096 / 1000
+    val thrCol =
+      if (thresholds.isEmpty) lit(defaultThreshold)
+      else coalesce(
+        element_at(typedlit(thresholds), col(key)), lit(defaultThreshold))
+    val band = conv(
+      substring(md5(concat_ws("|", col(key), col(id)).cast("binary")), 1, 3),
+      16, 10).cast("int")
+    df.filter(band < thrCol)
+  }
+
   /** Per-key quota sampling (domain balancing — cap the documents any one
     * source/domain contributes to a training mix): keep the `n` rows per
     * key with the smallest md5(key|id), a deterministic pseudo-random

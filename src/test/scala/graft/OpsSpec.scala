@@ -631,6 +631,59 @@ class OpsSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("mixture sampling: rate endpoints, partition invariance, realized rate") {
+    import spark.implicits._
+    val d = docs.join(
+      spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "source"),
+      "doc_id")
+    // rate 1000 keeps everything, rate 0 keeps nothing
+    assert(Sampling.sampleByRate(d, "source", "doc_id", Map.empty, 1000).count()
+      == d.count())
+    assert(Sampling.sampleByRate(d, "source", "doc_id", Map.empty, 0).count() == 0)
+    // content-hash keep is partition-invariant
+    val kept = Sampling.sampleByRate(d, "source", "doc_id", Map.empty, 500)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val keptRepart = Sampling.sampleByRate(d.repartition(17), "source", "doc_id",
+        Map.empty, 500)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == keptRepart)
+    // realized rate tracks the target (binomial, wide tolerance)
+    val frac = kept.size.toDouble / d.count()
+    assert(frac > 0.4 && frac < 0.6, s"realized $frac")
+    // per-source override: a dropped source contributes nothing
+    val mixed = Sampling.sampleByRate(d, "source", "doc_id",
+      Map("src0" -> 0, "src1" -> 1000), 500)
+    assert(mixed.filter(col("source") === "src0").count() == 0)
+    assert(mixed.filter(col("source") === "src1").count()
+      == d.filter(col("source") === "src1").count())
+  }
+
+  test("shuffle shards: dense positions, balanced shards, seed-deterministic") {
+    import spark.implicits._
+    val d = docs.select("doc_id")
+    val n = d.count()
+    val sh = Sharding.shuffleShards(d, 8).cache()
+    assert(sh.count() == n)
+    assert(sh.filter(col("shard") < 0 || col("shard") >= 8).count() == 0)
+    // positions are dense 1..count within every shard
+    val dense = sh.groupBy("shard")
+      .agg(count(lit(1)).as("c"), max("pos").as("mx"), min("pos").as("mn"))
+    assert(dense.filter(col("mx") =!= col("c") || col("mn") =!= 1).count() == 0)
+    // md5 keys balance the shards (uniform multinomial, wide tolerance)
+    val sizes = dense.select("c").as[Long].collect()
+    assert(sizes.min > n / 8 / 2 && sizes.max < n / 8 * 2, sizes.mkString(","))
+    // layout is a pure function of (seed, id): partitioning cannot move rows
+    val again = Sharding.shuffleShards(d.repartition(13), 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect().sorted.toSeq
+    assert(again == sh.select("doc_id", "shard", "pos")
+      .as[(Long, Int, Int)].collect().sorted.toSeq)
+    // a different seed is a genuinely different order
+    val other = Sharding.shuffleShards(d, 8, seed = "epoch-2")
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect().sorted.toSeq
+    assert(other != again)
+    sh.unpersist()
+  }
+
   test("multimodal kernel output matches metadata contract") {
     val meta = Multimodal.decodeMeta(docs, spark).toDF().cache()
     assert(meta.filter(col("width") < 32 || col("width") >= 672).count() == 0)
