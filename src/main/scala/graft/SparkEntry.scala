@@ -365,6 +365,35 @@ object SparkEntry {
           ops.Sampling.MixtureRates, ops.Sampling.MixtureDefaultPermille)
         .orderBy(col("doc_id"))),
 
+    // URL canonicalization + domain keys over deterministically messy URLs
+    "q_url" -> ((s, dir) =>
+      ops.UrlOps.urlStats(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("source"), expr(messyUrlSql).as("url")))
+        .select("doc_id", "url", "canon_url", "host", "registered_domain",
+          "host_rev")
+        .orderBy(col("doc_id"))),
+
+    // crawl-side URL dedup: planted variants (scheme case + fragment) of
+    // every 13th page's canonical URL must lose to the earlier crawl
+    "q_url_dedup" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), expr(messyUrlSql).as("url"),
+          expr("timestampadd(HOUR, cast(doc_id as int), timestamp'2026-01-01 00:00:00')")
+            .as("warc_ts"))
+        .select("doc_id", "url", "warc_ts")
+      val variants = base
+        .withColumn("canon_url", ops.UrlOps.canonicalize(col("url")))
+        .filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(upper(substring_index(col("canon_url"), "://", 1)),
+            lit("://"), substring_index(col("canon_url"), "://", -1),
+            lit("#dup")).as("url"),
+          expr("warc_ts + INTERVAL 1 HOUR").as("warc_ts"))
+      ops.UrlOps.dedupByCanonUrl(base.union(variants))
+        .select("doc_id", "canon_url").orderBy(col("doc_id"))
+    }),
+
     // deterministic global shuffle + shard layout for training runs
     "q_shards" -> ((s, dir) =>
       ops.Sharding.shuffleShards(
@@ -1355,6 +1384,42 @@ object SparkEntry {
       ORDER BY doc_id"""
     },
 
+    "q_url" -> s"""
+      WITH base AS (SELECT doc_id, source, $messyUrlSql AS url FROM documents),
+      ${urlCanonSteps("base", "u")}
+      SELECT doc_id, url, canon_url, host,
+             CASE WHEN len(string_split(host, '.')) < 2 THEN host
+                  ELSE array_to_string(string_split(host, '.')[-2:], '.') END
+               AS registered_domain,
+             array_to_string(list_reverse(string_split(host, '.')), '.')
+               AS host_rev
+      FROM u7 ORDER BY doc_id""",
+
+    "q_url_dedup" -> s"""
+      WITH base0 AS (SELECT doc_id, source, $messyUrlSql AS url,
+                       TIMESTAMP '2026-01-01 00:00:00'
+                         + to_hours(CAST(doc_id AS BIGINT)) AS warc_ts
+                     FROM documents),
+      base AS (SELECT doc_id, url, warc_ts FROM base0),
+      ${urlCanonSteps("base", "v")},
+      var AS (SELECT doc_id + 1000000 AS doc_id,
+                     upper(split_part(canon_url, '://', 1)) || '://'
+                       || split_part(canon_url, '://', 2) || '#dup' AS url,
+                     warc_ts + INTERVAL 1 HOUR AS warc_ts
+              FROM v7 WHERE doc_id % 13 = 0),
+      allp AS (SELECT doc_id, url, warc_ts FROM base
+               UNION ALL SELECT doc_id, url, warc_ts FROM var),
+      ${urlCanonSteps("allp", "c")},
+      w1 AS (SELECT canon_url, min(warc_ts) AS mts FROM c7 GROUP BY 1),
+      w2 AS (SELECT c.canon_url, min(c.doc_id) AS keep_id
+             FROM c7 c JOIN w1 ON c.canon_url = w1.canon_url
+                              AND c.warc_ts = w1.mts
+             GROUP BY 1)
+      SELECT c.doc_id, c.canon_url
+      FROM c7 c JOIN w2 ON c.canon_url = w2.canon_url
+                       AND c.doc_id = w2.keep_id
+      ORDER BY c.doc_id""",
+
     "q_shards" -> {
       import graft.ops.{Sharding => SH}
       s"""
@@ -1935,6 +2000,62 @@ object SparkEntry {
     graft.ops.TextAnalysis.enMarkers.map(m => s"'$m'").mkString("[", ", ", "]")
   private def stopSqlList: String =
     (graft.ops.TextAnalysis.enMarkers ++ Seq("to", "in")).map(m => s"'$m'").mkString("[", ", ", "]")
+
+  /** Deterministic messy-URL derivation over (doc_id, source) — ONE string
+    * parsed by both Spark's expr() and DuckDB, so the q_url fixtures can't
+    * drift between engines. Exercises: scheme/host case, default and
+    * non-default ports, tracking params (prefix and exact-key), trailing
+    * slash, fragments. */
+  private val messyUrlSql: String = """
+      (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'http' WHEN 1 THEN 'https'
+            WHEN 2 THEN 'HTTP' ELSE 'HTTPS' END)
+      || '://' ||
+      (CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'WWW.' || source || '.Example.COM'
+            WHEN 1 THEN source || '.example.org'
+            ELSE 'cdn.' || source || '.net' END)
+      || (CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+               WHEN 2 THEN ':8080' ELSE '' END)
+      || '/Articles/' || doc_id ||
+      (CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN '/' ELSE '' END)
+      || (CASE CAST(doc_id % 7 AS INT)
+               WHEN 0 THEN '?utm_source=feed&id=' || doc_id || '&utm_campaign=x'
+               WHEN 1 THEN '?id=' || doc_id || '&fbclid=abc'
+               WHEN 2 THEN '?utm_medium=email' ELSE '' END)
+      || (CASE CAST(doc_id % 8 AS INT) WHEN 0 THEN '#Section-2' ELSE '' END)"""
+
+  /** DuckDB CTE chain replaying `ops.UrlOps.canonicalize` rule-for-rule
+    * over `$src(url, ...)`; emits `${p}7` with all src columns + canon_url.
+    * Every step mirrors one named intermediate of the Spark op. */
+  private def urlCanonSteps(src: String, p: String): String = s"""
+      ${p}1 AS (SELECT *, split_part(url, '#', 1) AS nofrag FROM $src),
+      ${p}2 AS (SELECT *, lower(split_part(nofrag, '://', 1)) AS scheme,
+                       split_part(nofrag, '://', 2) AS rest FROM ${p}1),
+      ${p}3 AS (SELECT *, split_part(split_part(rest, '/', 1), '?', 1) AS hostport
+                FROM ${p}2),
+      ${p}4 AS (SELECT *, substr(rest, len(hostport) + 1) AS pathq FROM ${p}3),
+      ${p}5 AS (SELECT *, split_part(pathq, '?', 1) AS path0,
+                       substr(pathq, len(split_part(pathq, '?', 1)) + 2) AS query0,
+                       split_part(hostport, ':', 1) AS hp0 FROM ${p}4),
+      ${p}6 AS (SELECT *, lower(hp0) AS host,
+                       substr(hostport, len(hp0) + 2) AS port,
+                       COALESCE(array_to_string(
+                         list_filter(string_split(query0, '&'),
+                           q -> NOT (substr(q, 1, 4) = 'utm_'
+                                     OR split_part(q, '=', 1) = 'fbclid')),
+                         '&'), '') AS keptq
+                FROM ${p}5),
+      ${p}7 AS (SELECT *, scheme || '://' || host ||
+                 (CASE WHEN port = '' THEN ''
+                       WHEN scheme = 'http' AND port = '80' THEN ''
+                       WHEN scheme = 'https' AND port = '443' THEN ''
+                       ELSE ':' || port END) ||
+                 (CASE WHEN path0 = '' THEN '/'
+                       WHEN len(path0) > 1 AND substr(path0, len(path0)) = '/'
+                         THEN substr(path0, 1, len(path0) - 1)
+                       ELSE path0 END) ||
+                 (CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END) AS canon_url
+                FROM ${p}6)"""
 
   private def normDocsCte: String =
     """norm_docs AS (

@@ -684,6 +684,52 @@ class OpsSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("url canonicalization: every rule on hand cases; canon-url dedup") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host case, default port, fragment
+      ("HTTPS://WWW.Example.COM:443/A/b#frag", "https://www.example.com/A/b"),
+      // http:80 stripped, https:80 kept
+      ("http://a.org:80/x", "http://a.org/x"),
+      ("https://a.org:80/x", "https://a.org:80/x"),
+      // non-default port kept
+      ("http://a.org:8080/x", "http://a.org:8080/x"),
+      // tracking params dropped, order of the rest preserved, ? dropped when empty
+      ("https://a.org/p?utm_source=f&id=7&fbclid=zz&b=2", "https://a.org/p?id=7&b=2"),
+      ("https://a.org/p?utm_source=f&utm_medium=m", "https://a.org/p"),
+      // utm_ is a PREFIX rule, fbclid an exact-key rule
+      ("https://a.org/p?utmost=1&fbclid2=x", "https://a.org/p?utmost=1&fbclid2=x"),
+      // empty path → /, trailing slash stripped on non-root
+      ("https://a.org", "https://a.org/"),
+      ("https://a.org/", "https://a.org/"),
+      ("https://a.org/dir/", "https://a.org/dir"),
+      // query on root path
+      ("https://a.org?id=1#f", "https://a.org/?id=1"))
+    val got = UrlOps.urlStats(cases.map(_._1).zipWithIndex
+        .map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url"))
+      .orderBy("doc_id").select("canon_url").as[String].collect().toSeq
+    assert(got == cases.map(_._2), got.zip(cases).filter(p => p._1 != p._2._2).toString)
+
+    val keys = UrlOps.urlStats(Seq((1L, "https://WWW.News.Example.CO:8443/x"))
+      .toDF("doc_id", "url")).select("host", "registered_domain", "host_rev")
+      .as[(String, String, String)].head()
+    assert(keys == (("www.news.example.co", "example.co", "co.example.news.www")))
+
+    // dedup: the variant (scheme case + fragment) loses to the earlier crawl
+    val pages = Seq(
+      (1L, "https://a.org/p?utm_source=x&id=1", "2026-01-01 00:00:00"),
+      (2L, "HTTPS://a.org/p?id=1#dup", "2026-01-02 00:00:00"),
+      (3L, "https://b.org/q", "2026-01-03 00:00:00"))
+      .toDF("doc_id", "url", "ts")
+      .withColumn("warc_ts", col("ts").cast("timestamp")).drop("ts")
+    val kept = UrlOps.dedupByCanonUrl(pages)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+    // plan shape: groupBy+semi-join, no window funnel
+    val plan = UrlOps.dedupByCanonUrl(pages).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
   test("multimodal kernel output matches metadata contract") {
     val meta = Multimodal.decodeMeta(docs, spark).toDF().cache()
     assert(meta.filter(col("width") < 32 || col("width") >= 672).count() == 0)
