@@ -92,7 +92,14 @@ object Enrich {
     * KB miss (a linked qid with no attr rows — common against any real KB)
     * must arrive with label=qid / instance_of='entity', never vanish from
     * the mention table. Row-for-row equal to the broadcast path
-    * (ScaleJoinSpec, including missing-qid rows). */
+    * (ScaleJoinSpec, including missing-qid rows).
+    *
+    * Measured (BENCH/BASELINE.md round 5, 16M × 10M Zipfian join): with
+    * AQE on, Spark's skew-join splits the hot partition and the unsalted
+    * twin ties salting; with AQE off and a 30% hub key, salting wins
+    * 1.36×. Prefer AQE's handling when available — explicit salting is
+    * the portable fix, and the only one when the skewed key feeds a
+    * non-join operator. */
   def attachAttributesLarge(mentions: DataFrame, attrs: DataFrame,
                             hotQids: DataFrame, saltFactor: Int = 8): DataFrame =
     graft.ops.Skew.saltedJoin(
