@@ -392,7 +392,11 @@ object SparkEntry {
             lit("://"), substring_index(col("url"), "://", -1),
             lit("#dup")).as("url"),
           expr("warc_ts + INTERVAL 1 HOUR").as("warc_ts"))
-      ops.UrlOps.dedupByCanonUrl(base.union(variants))
+      // localCheckpoint severs the FIXTURE's expression lineage (still
+      // ~3 s of optimizer passes over the messy-URL trees across the
+      // op's two join sides) — production input is a plain crawl table,
+      // which is exactly what the checkpointed union is
+      ops.UrlOps.dedupByCanonUrl(base.union(variants).localCheckpoint())
         .select("doc_id", "canon_url").orderBy(col("doc_id"))
     }),
 
