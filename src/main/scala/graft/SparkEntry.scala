@@ -442,6 +442,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR-class importance weighting: target = the % TrainMod slice,
+    // raw pool = the % RawMod slice (minus target), scored = the rest
+    "q_importance" -> ((s, dir) => {
+      val docs = ops.Corpora.normDocs(s, dir)
+      val tm = ops.LanguageModel.TrainMod
+      val rm = ops.LanguageModel.RawMod
+      ops.LanguageModel.importanceWeights(
+          docs.filter(col("doc_id") % tm =!= 0 && col("doc_id") % rm =!= 0),
+          docs.filter(col("doc_id") % tm === 0),
+          docs.filter(col("doc_id") % rm === 0 && col("doc_id") % tm =!= 0))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII detect + scrub over the corpus with planted PII rows
     "q_pii" -> ((s, dir) =>
       ops.TextAnalysis.piiStats(
@@ -1510,36 +1523,35 @@ object SparkEntry {
       s"""
       WITH $normDocsCte,
       t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM norm_docs),
-      tb AS (SELECT CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END AS prev,
-                    toks[i] AS w
-             FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)
-             WHERE doc_id % ${LM.TrainMod} = 0),
-      bi AS (SELECT prev, w, COUNT(*) AS cbi FROM tb GROUP BY 1, 2),
-      ctx AS (SELECT prev, COUNT(*) AS cctx FROM tb GROUP BY 1),
-      voc AS (SELECT DISTINCT w FROM tb),
-      vt AS (SELECT COUNT(*) + 1 AS vtot FROM voc),
-      ev AS (SELECT doc_id,
-               CASE WHEN i = 1 THEN '<s>'
-                    WHEN toks[i - 1] IN (SELECT w FROM voc) THEN toks[i - 1]
-                    ELSE '<unk>' END AS prev,
-               CASE WHEN toks[i] IN (SELECT w FROM voc) THEN toks[i]
-                    ELSE '<unk>' END AS w
-             FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)
-             WHERE doc_id % ${LM.TrainMod} <> 0),
-      q AS (SELECT e.doc_id,
-              CAST(floor(-ln((COALESCE(bi.cbi, 0) + 1.0) /
-                             (COALESCE(ctx.cctx, 0) + vt.vtot))
-                         * ${LM.LogQuant} + 0.5) AS BIGINT) AS q
-            FROM ev e
-            CROSS JOIN vt
-            LEFT JOIN bi ON e.prev = bi.prev AND e.w = bi.w
-            LEFT JOIN ctx ON e.prev = ctx.prev)
-      SELECT doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_tokens,
-             CAST(SUM(q) AS BIGINT) AS nll_e4,
-             CAST(SUM(q) // COUNT(*) AS BIGINT) AS avg_nll_e4,
-             (SUM(q) // COUNT(*)) > ${LM.FlagAvgNllE4} AS low_quality
-      FROM q GROUP BY doc_id ORDER BY doc_id"""
+      ${lmNllCtes("p", s"doc_id % ${LM.TrainMod} = 0",
+        s"doc_id % ${LM.TrainMod} <> 0")}
+      SELECT doc_id, n_tokens, nll_e4,
+             CAST(nll_e4 // n_tokens AS BIGINT) AS avg_nll_e4,
+             (nll_e4 // n_tokens) > ${LM.FlagAvgNllE4} AS low_quality
+      FROM pnll ORDER BY doc_id"""
+    },
+
+    // DSIR-class importance weighting: weight = nll under the RAW model
+    // minus nll under the TARGET model, both INTEGER quanta sums — the
+    // subtraction is exact, keep ⇔ the target model likes the doc more
+    "q_importance" -> {
+      import graft.ops.{LanguageModel => LM}
+      s"""
+      WITH $normDocsCte,
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM norm_docs),
+      ${lmNllCtes("tg", s"doc_id % ${LM.TrainMod} = 0",
+        s"doc_id % ${LM.TrainMod} <> 0 AND doc_id % ${LM.RawMod} <> 0")},
+      ${lmNllCtes("rw",
+        s"doc_id % ${LM.RawMod} = 0 AND doc_id % ${LM.TrainMod} <> 0",
+        s"doc_id % ${LM.TrainMod} <> 0 AND doc_id % ${LM.RawMod} <> 0")}
+      SELECT tg.doc_id, tg.n_tokens,
+             tg.nll_e4 AS nll_target_e4, rw.nll_e4 AS nll_raw_e4,
+             rw.nll_e4 - tg.nll_e4 AS weight_e4,
+             CAST(rw.nll_e4 // tg.n_tokens - tg.nll_e4 // tg.n_tokens
+               AS BIGINT) AS avg_weight_e4,
+             rw.nll_e4 - tg.nll_e4 > 0 AS keep
+      FROM tgnll tg JOIN rwnll rw ON tg.doc_id = rw.doc_id
+      ORDER BY tg.doc_id"""
     },
 
     "q_pii" -> {
@@ -2028,6 +2040,43 @@ object SparkEntry {
                WHEN 1 THEN '?id=' || doc_id || '&fbclid=abc'
                WHEN 2 THEN '?utm_medium=email' ELSE '' END)
       || (CASE CAST(doc_id % 8 AS INT) WHEN 0 THEN '#Section-2' ELSE '' END)"""
+
+  /** DuckDB CTE chain replaying `ops.LanguageModel`'s bigram-NLL scoring:
+    * trains the Laplace-smoothed model over `t` rows matching `trainPred`,
+    * scores rows matching `evalPred`, emits `${p}nll(doc_id, n_tokens,
+    * nll_e4)`. Expects a prior CTE `t(doc_id, toks)`. */
+  private def lmNllCtes(p: String, trainPred: String, evalPred: String)
+      : String = {
+    import graft.ops.{LanguageModel => LM}
+    s"""${p}tb AS (SELECT CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END AS prev,
+                    toks[i] AS w
+             FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)
+             WHERE $trainPred),
+      ${p}bi AS (SELECT prev, w, COUNT(*) AS cbi FROM ${p}tb GROUP BY 1, 2),
+      ${p}ctx AS (SELECT prev, COUNT(*) AS cctx FROM ${p}tb GROUP BY 1),
+      ${p}voc AS (SELECT DISTINCT w FROM ${p}tb),
+      ${p}vt AS (SELECT COUNT(*) + 1 AS vtot FROM ${p}voc),
+      ${p}ev AS (SELECT doc_id,
+               CASE WHEN i = 1 THEN '<s>'
+                    WHEN toks[i - 1] IN (SELECT w FROM ${p}voc) THEN toks[i - 1]
+                    ELSE '<unk>' END AS prev,
+               CASE WHEN toks[i] IN (SELECT w FROM ${p}voc) THEN toks[i]
+                    ELSE '<unk>' END AS w
+             FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)
+             WHERE $evalPred),
+      ${p}q AS (SELECT e.doc_id,
+              CAST(floor(-ln((COALESCE(bi.cbi, 0) + 1.0) /
+                             (COALESCE(ctx.cctx, 0) + vt.vtot))
+                         * ${LM.LogQuant} + 0.5) AS BIGINT) AS q
+            FROM ${p}ev e
+            CROSS JOIN ${p}vt vt
+            LEFT JOIN ${p}bi bi ON e.prev = bi.prev AND e.w = bi.w
+            LEFT JOIN ${p}ctx ctx ON e.prev = ctx.prev),
+      ${p}nll AS (SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(q) AS BIGINT) AS nll_e4
+           FROM ${p}q GROUP BY doc_id)"""
+  }
 
   /** DuckDB CTE chain replaying `ops.UrlOps.canonicalize` rule-for-rule
     * over `$src(url, ...)`; emits `${p}7` with all src columns + canon_url.

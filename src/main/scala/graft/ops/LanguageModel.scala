@@ -100,6 +100,40 @@ object LanguageModel {
         (expr("nll_e4 div n_tokens") > flagAvgNllE4).as("low_quality"))
   }
 
+  /** Raw-pool slice selector for the importance-weighting demo, shared
+    * with the q_importance oracle (doc_id % RawMod == 0, minus the
+    * target slice). */
+  val RawMod = 5
+
+  /** DSIR-class importance weighting (Xie et al. 2023: select pretraining
+    * data by how much more a TARGET-domain LM likes a document than a
+    * generic RAW-pool LM). Re-expressed on the bigram model:
+    * `weight_e4 = nll_raw - nll_target` — a difference of two INTEGER
+    * quanta sums, so it is exact, partition-order-free, and positive
+    * exactly when the target model assigns the doc higher likelihood.
+    * `avg_weight_e4` divides each sum by n_tokens BEFORE subtracting
+    * (both divisions are of non-negative ints — truncation and floor
+    * agree, keeping Spark `div` and DuckDB `//` in lockstep).
+    *
+    * Scale shape: two broadcast-model probe passes over the corpus (one
+    * per LM) + one doc_id-keyed equi-join of their per-doc aggregates —
+    * no new shuffle classes beyond [[perplexityStats]]. */
+  def importanceWeights(docs: DataFrame, targetDocs: DataFrame,
+                        rawDocs: DataFrame): DataFrame = {
+    val target = perplexityStats(docs, targetDocs)
+      .select(col("doc_id"), col("n_tokens"),
+        col("nll_e4").as("nll_target_e4"))
+    val raw = perplexityStats(docs, rawDocs)
+      .select(col("doc_id"), col("nll_e4").as("nll_raw_e4"))
+    target.join(raw, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        col("nll_target_e4"), col("nll_raw_e4"),
+        (col("nll_raw_e4") - col("nll_target_e4")).as("weight_e4"),
+        (expr("nll_raw_e4 div n_tokens") - expr("nll_target_e4 div n_tokens"))
+          .as("avg_weight_e4"),
+        (col("nll_raw_e4") - col("nll_target_e4") > 0L).as("keep"))
+  }
+
   /** The filter form: corpus docs with `low_quality` rows removed. */
   def perplexityFilter(docs: DataFrame, trainDocs: DataFrame,
                        flagAvgNllE4: Long = FlagAvgNllE4): DataFrame =

@@ -684,6 +684,23 @@ class OpsSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("importance weighting: target-like docs keep, raw-like docs drop") {
+    import spark.implicits._
+    val target = Seq((700L, "a b a b")).toDF("doc_id", "text")
+    val raw = Seq((500L, "z z z")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b"), (2L, "z z")).toDF("doc_id", "text")
+    val got = LanguageModel.importanceWeights(corpus, target, raw)
+      .orderBy("doc_id")
+      .select("doc_id", "nll_target_e4", "nll_raw_e4", "weight_e4",
+        "avg_weight_e4", "keep")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    // doc 1 "a b": target 6931+5108, raw (both <unk>) 10986+6931
+    // doc 2 "z z": target (both <unk>) 13863+10986, raw 4055+2877
+    assert(got == Seq(
+      (1L, 12039L, 17917L, 5878L, 2939L, true),
+      (2L, 24849L, 6932L, -17917L, -8958L, false)))
+  }
+
   test("url canonicalization: every rule on hand cases; canon-url dedup") {
     import spark.implicits._
     val cases = Seq(
