@@ -94,7 +94,11 @@ object Scaling {
     *    "sort-merge join on canonical entity id" shape) over a Zipfian
     *    16M-mention table ⋈ 10M-row synthetic attr table;
     *  - "enrich_unsalted": the IDENTICAL join with an empty hot-key set
-    *    (same code path, salt 0 everywhere) — isolates the salting delta. */
+    *    (same code path, salt 0 everywhere) — isolates the salting delta;
+    *  - "dedup": pages scan → html→text → exact-dedup canonical map +
+    *    MinHash/LSH candidate pairs (counted together) — the LLM-pipeline
+    *    dedup stage's own two-parallelism evidence; reported "triples"
+    *    are candidate pairs + duplicate groups. */
   // lazy val: the job/dict selection is read and validated exactly ONCE per
   // process — a mid-run env mutation can never mix kernels (or dictionaries)
   // within one sweep's output labels
@@ -102,8 +106,9 @@ object Scaling {
     val j = sys.env.getOrElse("SPARK_GRAFT_JOB", "rule")
     // a typo must fail loudly, not silently bench the rule kernel under
     // the typo'd label
-    require(Set("rule", "injected", "enrich", "enrich_unsalted").contains(j),
-      s"SPARK_GRAFT_JOB must be rule|injected|enrich|enrich_unsalted, got: $j")
+    require(Set("rule", "injected", "enrich", "enrich_unsalted", "dedup")
+      .contains(j),
+      s"SPARK_GRAFT_JOB must be rule|injected|enrich|enrich_unsalted|dedup, got: $j")
     j
   }
 
@@ -220,6 +225,17 @@ object Scaling {
     val nTriples = Job match {
       case "injected" =>
         graft.pipeline.KnowledgeInjection.extractInjectedFused(pages, spark).count()
+      case "dedup" =>
+        // both dedup families in one timed pass: the exact canonical map
+        // (the most-executed operator of any corpus pipeline) and the
+        // MinHash→bands→capped-bucket candidate pairs (the near-dup front)
+        val corpus = pages.select(col("doc_id"), col("text"))
+        val exactGroups = graft.ops.Dedup.exact(corpus)
+          .filter(col("group_size") > 1).count()
+        val candPairs = graft.ops.Dedup.lshCandidates(
+          graft.ops.Dedup.lshBands(graft.ops.Dedup.minhash(corpus, spark)))
+          .count()
+        exactGroups + candPairs
       case _ => Stages.extractTriplesKernelWith(pages, spark, dict).count()
     }
     val secs = (System.nanoTime() - t0) / 1e9

@@ -64,14 +64,29 @@ object Dedup {
     minhashFromShingles(shingles(docs), spark)
 
   /** Same, over an already-materialized shingle frame (callers that reuse
-    * the shingles elsewhere cache it and pass it here). */
+    * the shingles elsewhere cache it and pass it here).
+    *
+    * All NumHashes hashes are computed IN-ROW per shingle and reduced by a
+    * single doc_id-keyed aggregation of NumHashes positional `min`s, then
+    * unpivoted back to long format. The previous crossJoin-with-seeds form
+    * replicated every (doc, shingle) row NumHashes× through the exchange
+    * and keyed the aggregation on NumHashes× more groups — measured 8×
+    * more exchange rows for identical output. */
   def minhashFromShingles(sh: DataFrame, spark: SparkSession): DataFrame = {
-    val seeds = broadcast(spark.range(NumHashes).select(col("id").cast("int").as("seed")))
-    sh
-      .crossJoin(seeds)
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle"))
-        .cast("binary"))).as("minhash"))
+    val hashed = sh.select(col("doc_id"), expr(
+      s"""transform(sequence(0, ${NumHashes - 1}), s ->
+            md5(cast(concat(cast(s as string), '|', shingle) as binary)))""")
+      .as("hs"))
+    val minCols = (0 until NumHashes)
+      .map(i => min(element_at(col("hs"), i + 1)).as(s"m$i"))
+    val mins = hashed.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    val unpivot = (0 until NumHashes)
+      .map(i => s"struct(CAST($i AS INT) AS seed, m$i AS minhash)")
+      .mkString("array(", ", ", ")")
+    mins.select(col("doc_id"), explode(expr(unpivot)).as("p"))
+      .select(col("doc_id"), col("p.seed").as("seed"),
+        col("p.minhash").as("minhash"))
   }
 
   /** LSH banding: band signature per (doc, band); docs sharing any band
