@@ -557,6 +557,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "q_simhash" -> ((s, dir) =>
       ops.Dedup.simhash(ops.Corpora.normDocs(s, dir), s).orderBy(col("doc_id"))),
+    // segment-level (paragraph/line-class) dedup: globally-first-occurrence
+    // keeps its segment, every later occurrence is dropped; the +1M exact
+    // copies are planted full-loss positives
+    "q_segment_dedup" -> ((s, dir) =>
+      ops.TextAnalysis.segmentDedup(
+        ops.Corpora.withExactDups(ops.Corpora.normDocs(s, dir)))
+        .orderBy(col("doc_id"))),
 
     // -- similarity search --
     "q_ann_cosine" -> ((s, dir) =>
@@ -638,6 +645,15 @@ object SparkEntry {
       val corpus = ops.Corpora.withEmbeddingDups(s.read.parquet(s"$dir/embeddings.parquet"))
       ops.Similarity.cosineNearDups(corpus, 990, EmbBands, EmbBitsPerBand, s)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SemDeDup-class semantic dedup: IVF-cell assignment (broadcast
+    // codebook, zero-shuffle corpus scan) + within-cell lower-id drop rule
+    // at the same exact 990-permille threshold as q_embed_neardup
+    "q_semdedup" -> ((s, dir) => {
+      val corpus = ops.Corpora.withEmbeddingDups(s.read.parquet(s"$dir/embeddings.parquet"))
+      ops.Similarity.semDedup(corpus, IvfNlist, 990, s)
+        .orderBy(col("vec_id"))
     }),
 
     // -- multimodal plumbing --
@@ -1680,6 +1696,33 @@ object SparkEntry {
              MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
              doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
       FROM dup_corpus ORDER BY doc_id""",
+
+    "q_segment_dedup" -> {
+      val seg = ops.TextAnalysis.SegTokens
+      s"""
+      WITH $normDocsCte, $dupCorpusCte,
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dup_corpus),
+      sx AS (SELECT doc_id,
+                    CAST(unnest(range((len(toks) - 1) // $seg + 1)) AS BIGINT) AS seg_id,
+                    toks
+             FROM t),
+      hs AS (SELECT doc_id, seg_id,
+                    array_to_string(toks[CAST(seg_id * $seg + 1 AS INT) :
+                                         CAST(seg_id * $seg + $seg AS INT)], ' ') AS seg_text,
+                    doc_id * 1000000000 + seg_id AS ord
+             FROM sx),
+      own AS (SELECT md5(seg_text) AS h, MIN(ord) AS first_ord
+              FROM hs GROUP BY 1),
+      k AS (SELECT hs.doc_id, hs.seg_id, hs.seg_text,
+                   hs.ord = o.first_ord AS kept
+            FROM hs JOIN own o ON md5(hs.seg_text) = o.h)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_segments,
+             CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             coalesce(string_agg(CASE WHEN kept THEN seg_text END, ' '
+                                 ORDER BY seg_id), '') AS kept_text
+      FROM k GROUP BY doc_id ORDER BY doc_id"""
+    },
     "q_minhash_sig" -> s"""
       WITH $normDocsCte, $nearCorpusCte, $minhashCtes
       SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM mh ORDER BY 1, 2""",
@@ -1894,6 +1937,53 @@ object SparkEntry {
         JOIN qn2 nb ON d.neighbor_id = nb.vec_id)
       SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "q_semdedup" -> s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(embedding, (x, i) -> CAST(CASE WHEN i = 1 THEN x + 0.001 ELSE x END AS FLOAT))
+        FROM embeddings WHERE vec_id < 10),
+      qn AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS q
+        FROM corpus),
+      qn2 AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2 FROM qn),
+      cents AS (SELECT vec_id AS cell, q AS cq, norm2 AS cn FROM qn2 WHERE vec_id < $IvfNlist),
+      vcdot AS (
+        SELECT v_id AS vec_id, cell, CAST(SUM(av * bv) AS BIGINT) AS cdot FROM (
+          SELECT v.vec_id AS v_id, c.cell, unnest(v.q) AS av, unnest(c.cq) AS bv
+          FROM qn2 v, cents c)
+        GROUP BY 1, 2),
+      vcells AS (
+        SELECT d.vec_id, d.cell,
+               row_number() OVER (PARTITION BY d.vec_id
+                 ORDER BY CASE WHEN v.norm2 = 0 OR c.cn = 0 THEN -2.0
+                   ELSE CAST(d.cdot AS DOUBLE) / sqrt(CAST(v.norm2 AS DOUBLE) * CAST(c.cn AS DOUBLE)) END DESC,
+                          d.cell ASC) AS crk
+        FROM vcdot d JOIN qn2 v ON d.vec_id = v.vec_id JOIN cents c ON d.cell = c.cell),
+      assign AS (SELECT vec_id, cell FROM vcells WHERE crk = 1),
+      pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      dots AS (
+        SELECT a_id, b_id, CAST(SUM(av * bv) AS BIGINT) AS dot FROM (
+          SELECT p.a_id, p.b_id, unnest(qa.q) AS av, unnest(qb.q) AS bv
+          FROM pairs p JOIN qn2 qa ON p.a_id = qa.vec_id JOIN qn2 qb ON p.b_id = qb.vec_id)
+        GROUP BY 1, 2),
+      dupc AS (
+        SELECT d.b_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+        FROM dots d
+        JOIN qn2 na ON d.a_id = na.vec_id
+        JOIN qn2 nb ON d.b_id = nb.vec_id
+        WHERE d.dot > 0 AND d.dot::HUGEINT * d.dot * 1000000 >= 980100::HUGEINT * na.norm2 * nb.norm2
+        GROUP BY 1)
+      SELECT a.vec_id, a.cell,
+             CAST(coalesce(dc.n_dups, 0) AS BIGINT) AS n_dups,
+             CAST(CASE WHEN dc.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+      FROM assign a LEFT JOIN dupc dc ON a.vec_id = dc.vec_id
+      ORDER BY a.vec_id""",
 
     "q_embed_neardup" -> s"""
       WITH corpus AS (

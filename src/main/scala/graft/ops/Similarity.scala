@@ -267,6 +267,59 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "dot")
   }
 
+  /** SemDeDup-class SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with the IVF codebook, then
+    * WITHIN each cluster drop every vector that has a lower-id near
+    * duplicate (cosine ≥ minCosPermille/1000). Returns a total annotation —
+    * one row per input vector: (vec_id, cell, n_dups, kept) where `n_dups`
+    * counts the lower-id in-cell witnesses and `kept = 0` iff n_dups > 0.
+    *
+    * Drop rule: the paper keeps one representative per near-dup group; the
+    * deterministic relational form of that choice is "drop x iff ∃ y in the
+    * same cell with y.vec_id < x.vec_id and cos(x, y) ≥ θ" — the lowest-id
+    * member of every in-cell duplicate group survives, independent of
+    * partitioning and row order. (In a chain a~b, b~c, a≁c this drops c as
+    * well — by-witness greedy, the conservative side: never keeps two
+    * vectors that are mutual near-dups.)
+    *
+    * Scale shape: cell assignment is the ivfTopK corpus path — broadcast
+    * codebook + running in-row min, ZERO shuffle. The only shuffle is the
+    * within-cell self-join keyed by cell: O(m²) dots per cell of size m,
+    * which is the SemDeDup design point — nlist is chosen so m = N/nlist
+    * stays small (the paper uses ~√N clusters); a hot cell is an AQE
+    * skew-join / `Skew.saltedJoin` case. The assignment is recomputed for
+    * the second join branch (cheap in-row work) rather than cached — same
+    * trade as `cappedBuckets`. Exact integer threshold in decimal(38,0),
+    * identical to `cosineNearDups`. */
+  def semDedup(embeddings: DataFrame, nlist: Int, minCosPermille: Int,
+               spark: SparkSession,
+               codebookRows: Option[DataFrame] = None): DataFrame = {
+    val q = quantized(embeddings)
+    val codebook = codebookRows.getOrElse(firstNCodebook(q, nlist))
+      .agg(array_sort(collect_list(struct(col("cell"), col("cq"), col("cn")))).as("cents"))
+    val assigned = q.crossJoin(broadcast(codebook))
+      .withColumn("cell", nearestCell)
+      .select(col("vec_id"), col("cell"), col("q"), col("norm2"))
+    val lower = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("q").as("qa"), col("norm2").as("na"))
+    val dups = lower
+      .join(assigned.select(col("cell"), col("vec_id"),
+        col("q").as("qb"), col("norm2").as("nb")), Seq("cell"))
+      .filter(col("a_id") < col("vec_id"))
+      .withColumn("dot", dotQ(col("qa"), col("qb")))
+      .filter(col("dot") > 0 &&
+        col("dot").cast("decimal(38,0)") * col("dot") * lit(1000000L) >=
+          lit(minCosPermille.toLong * minCosPermille) *
+            col("na").cast("decimal(38,0)") * col("nb"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("dup_wit"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup_wit"), lit(0L)).as("n_dups"),
+        col("dup_wit").isNull.cast("int").as("kept"))
+  }
+
   /** Embedding near-duplicate pairs: cosine above threshold (permille),
     * restricted to LSH bucket mates — the dedup-by-embedding operator.
     *

@@ -408,4 +408,52 @@ object TextAnalysis {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Segment width (tokens) for segment-level dedup, shared with the
+    * DuckDB oracle. Real pipelines use the natural paragraph/line break;
+    * the synthetic corpus has none, so fixed token blocks stand in. */
+  val SegTokens = 16
+
+  /** Segment-level exact-hash deduplication — the CCNet/RefinedWeb
+    * paragraph- and line-dedup class (Wenzek et al. 2020 §4.1 dedup
+    * paragraph hashes; Penedo et al. 2023 line-level dedup): split each doc
+    * into non-overlapping `segTokens`-token segments, md5 each, and keep
+    * only the globally FIRST occurrence of every distinct segment — first =
+    * lexicographic min (doc_id, seg_id), so later docs lose segments the
+    * corpus has already seen, and a segment repeated within one doc
+    * survives only at its first position. Returns one row per input doc:
+    * (doc_id, n_segments, n_kept, kept_text) — kept segments rejoined in
+    * original order; a fully-deduplicated doc keeps an EMPTY kept_text row
+    * (total annotation, so a downstream min-length filter sees it).
+    *
+    * Scale shape: one map-side-combinable `groupBy(hash).agg(min(key))`
+    * (a viral boilerplate segment — 10⁶–10⁹ occurrences — is ONE group
+    * row), one streaming equi-join on the hash, one doc-keyed reassembly
+    * aggregation. No windows, no funnels, no pairwise blowup.
+    *
+    * The (doc_id, seg_id) order key is encoded as doc_id·10⁹ + seg_id so
+    * the min is a plain BIGINT min in both engines; exact while segments
+    * per doc < 10⁹ (a 16·10⁹-token doc) and doc_id < ~9.2·10⁹. */
+  def segmentDedup(docs: DataFrame, segTokens: Int = SegTokens): DataFrame = {
+    require(segTokens > 0, s"segmentDedup: segTokens must be > 0, got $segTokens")
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(toks) - 1) div $segTokens),
+              i -> array_join(slice(toks, i * $segTokens + 1, $segTokens), ' '))"""))
+        .as(Seq("seg_id", "seg_text")))
+      .withColumn("h", md5(col("seg_text")))
+      .withColumn("ord", col("doc_id") * lit(1000000000L) + col("seg_id"))
+    val owner = segs.groupBy("h").agg(min(col("ord")).as("first_ord"))
+    segs.join(owner, "h")
+      .withColumn("kept", col("ord") === col("first_ord"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_segments"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("seg_id"), col("seg_text"))))),
+          x => x.getField("seg_text")), " ").as("kept_text"))
+  }
 }

@@ -747,6 +747,88 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(1500))
   }
 
+  test("segment dedup: first global occurrence wins, within-doc repeats collapse") {
+    import spark.implicits._
+    // segTokens = 2 → doc1: ["a b","c d"]; doc2: ["a b","x y","a b"] (first
+    // "a b" already owned by doc1, second is a within-doc repeat); doc3's
+    // only segment is owned by doc1 → fully deduplicated, EMPTY kept_text
+    val tiny = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y a b"),
+      (3L, "c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.segmentDedup(tiny, segTokens = 2)
+    val r = out.collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((2L, 2L, "a b c d")))
+    assert(r(2L) == ((3L, 1L, "x y")))
+    assert(r(3L) == ((1L, 0L, "")))
+    // plan shape: two hash aggs + equi-join, never a window funnel
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
+  test("segment dedup: planted exact copies lose everything; partition-invariant") {
+    val corpus = Corpora.withExactDups(docs)
+    val r = TextAnalysis.segmentDedup(corpus).cache()
+    try {
+      val copies = r.filter(col("doc_id") >= 1000000L)
+      assert(copies.count() == 20)
+      // an exact copy's every segment is owned by its lower-id original
+      assert(copies.filter(col("n_kept") =!= 0L || col("kept_text") =!= "").count() == 0)
+      // total annotation: one row per input doc
+      assert(r.count() == corpus.count())
+      // layout must never leak into results
+      val r2 = TextAnalysis.segmentDedup(corpus.repartition(7, col("text")))
+      assert(r.exceptAll(r2).count() == 0 && r2.exceptAll(r).count() == 0)
+    } finally r.unpersist()
+  }
+
+  test("semDedup in-cell drop rule on a hand corpus: lowest id survives, chain drops") {
+    import spark.implicits._
+    // nlist = 1 → a single cell; v0~v1, v0~v2, v1~v2 all ≥ 990‰; v3 orthogonal
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9999f, 0.01f)),
+      (2L, Array(0.9999f, -0.01f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(rows, 1, 990, spark).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getInt(3)))).toMap
+    assert(r(0L) == ((0L, 1)))  // lowest id of the dup group survives
+    assert(r(1L) == ((1L, 0)))  // witness: v0
+    assert(r(2L) == ((2L, 0)))  // witnesses: v0 AND v1 (by-witness greedy)
+    assert(r(3L) == ((0L, 1)))  // no near-dup → kept
+  }
+
+  test("semDedup drops every planted near-dup; every drop has a true witness") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = Corpora.withEmbeddingDups(emb).cache()
+    val r = Similarity.semDedup(corpus, 8, 990, spark).cache()
+    try {
+      assert(r.count() == corpus.count())
+      val planted = r.filter(col("vec_id") >= 100000L)
+      assert(planted.count() == 10)
+      // the original is a smaller-id in-cell near-identical vector, so no
+      // planted copy can survive
+      assert(planted.filter(col("kept") === 1).count() == 0)
+      // soundness: every dropped vector has a GENUINE smaller-id cosine
+      // witness corpus-wide (the in-cell restriction can only shrink the
+      // witness set, never invent one) — brute-force affordable at test scale
+      val q = Similarity.quantized(corpus)
+      val dropped = r.filter(col("kept") === 0).select("vec_id")
+      val witnessed = dropped
+        .join(q.select(col("vec_id"), col("q").as("qb"), col("norm2").as("nb")), "vec_id")
+        .join(q.select(col("vec_id").as("a_id"), col("q").as("qa"), col("norm2").as("na")),
+          col("a_id") < col("vec_id"))
+        .withColumn("dot", Similarity.dotQ(col("qa"), col("qb")))
+        .filter(col("dot") > 0 &&
+          col("dot").cast("decimal(38,0)") * col("dot") * lit(1000000L) >=
+            lit(990L * 990L) * col("na").cast("decimal(38,0)") * col("nb"))
+        .select("vec_id").distinct()
+      assert(witnessed.count() == dropped.count(),
+        "a dropped vector has no true sub-threshold... witness anywhere in the corpus")
+    } finally { r.unpersist(); corpus.unpersist() }
+  }
+
   test("multimodal kernel output matches metadata contract") {
     val meta = Multimodal.decodeMeta(docs, spark).toDF().cache()
     assert(meta.filter(col("width") < 32 || col("width") >= 672).count() == 0)
