@@ -22,20 +22,37 @@ object SparkEntry {
   private def cents(c: org.apache.spark.sql.Column) =
     floor(c * 100 + 0.5).cast("long")
 
-  /** LSH parameters shared by q_embed_neardup's Spark plan and its oracle. */
+  /** LSH parameters for top-k ANN (q_ann_lsh): FEW coarse bits per band on
+    * purpose — a top-k neighbor can sit at cosine 0.3–0.7, where longer
+    * band signatures would never collide. Dedup uses the separate operating
+    * point below. */
   val EmbBands = 8
   val EmbBitsPerBand = 4
   val IvfNlist = 8
   val IvfNprobe = 2
 
-  /** Text→vector near-dup operating point (q_text_neardup), chosen on
+  /** Near-DUP operating point (q_text_neardup AND q_embed_neardup), chosen
+    * on measurement at sf0.1 (5,020 docs, exact all-pairs ground truth
+    * 7,754 qualifying pairs at 920‰):
+    *   8 bands × 8 bits  → recall 0.928, 4.4M candidates, 8.3 s
+    *   16 bands × 10 bits → recall 0.982, balanced buckets,   4.9 s
+    * More bands drive the per-pair miss down exponentially while more bits
+    * per band split the degenerate buckets this self-similar corpus
+    * produces (30-word vocabulary → correlated doc vectors → sign sketches
+    * collide far above the random-vector rate). Tightening MaxBandDf
+    * instead was measured and rejected: true near-dups live IN the big
+    * buckets here (cap 300 → recall 0.77). Miss model at 16×10:
+    * c=0.99 → 1e-9, c=0.95 → 0.0012, c=0.92 → 0.009, c=0.80 → 0.18 —
+    * a dedup point, still not a broad-similarity point. */
+  val DedupBands = 16
+  val DedupBitsPerBand = 10
+
+  /** Text→vector near-dup threshold (q_text_neardup), chosen on
     * measurement at sf0.001/sf0.01: planted near-dups (3-of-≥13 tokens
     * dropped) sit at cosine ≥ 0.930, the non-duplicate background below
-    * 0.915, so 920‰ splits them; 8 bands × 8 bits gives measured recall
-    * 154/159 and 108/109 vs the exact all-pairs sweep (≥ 95%, spec-pinned)
-    * while keeping candidate pairs ~3% of the quadratic. */
-  val TextBands = 8
-  val TextBitsPerBand = 8
+    * 0.915, so 920‰ splits them. */
+  val TextBands = DedupBands
+  val TextBitsPerBand = DedupBitsPerBand
   val TextNearDupPermille = 920
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -643,7 +660,7 @@ object SparkEntry {
       // the md5-derived hyperplanes are deterministic so DuckDB replays
       // them exactly). Exact threshold: dot > 0 ∧ dot²·10⁶ ≥ 990²·na·nb.
       val corpus = ops.Corpora.withEmbeddingDups(s.read.parquet(s"$dir/embeddings.parquet"))
-      ops.Similarity.cosineNearDups(corpus, 990, EmbBands, EmbBitsPerBand, s)
+      ops.Similarity.cosineNearDups(corpus, 990, DedupBands, DedupBitsPerBand, s)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -2002,10 +2019,10 @@ object SparkEntry {
         SELECT vec_id, j,
                CASE WHEN SUM(qv * CASE WHEN substring(md5(j::VARCHAR || '|' || d::VARCHAR), 1, 1) >= '8'
                                   THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
-        FROM qd, (SELECT unnest(range(${EmbBands * EmbBitsPerBand})) AS j) GROUP BY 1, 2),
+        FROM qd, (SELECT unnest(range(${DedupBands * DedupBitsPerBand})) AS j) GROUP BY 1, 2),
       sigs AS (
-        SELECT vec_id, CAST(j // $EmbBitsPerBand AS INT) AS band,
-               CAST(SUM(bit * CAST(pow(2, j % $EmbBitsPerBand) AS BIGINT)) AS BIGINT) AS sig
+        SELECT vec_id, CAST(j // $DedupBitsPerBand AS INT) AS band,
+               CAST(SUM(bit * CAST(pow(2, j % $DedupBitsPerBand) AS BIGINT)) AS BIGINT) AS sig
         FROM bits GROUP BY 1, 2),
       kept AS (
         SELECT vec_id, band, sig FROM (

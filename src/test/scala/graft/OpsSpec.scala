@@ -469,15 +469,16 @@ class OpsSpec extends AnyFunSuite {
   test("cosineNearDups finds planted embedding duplicates via LSH buckets") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val corpus = Corpora.withEmbeddingDups(emb)
-    val got = Similarity.cosineNearDups(corpus, 990, 8, 4, spark)
+    val got = Similarity.cosineNearDups(corpus, 990,
+        SparkEntry.DedupBands, SparkEntry.DedupBitsPerBand, spark)
       .filter(col("doc_b") === col("doc_a") + 100000L)
-    // tiny perturbation almost never flips a sign bit in any of 8 bands
+    // tiny perturbation almost never flips a sign bit in any of 16 bands
     assert(got.count() >= 9, s"found only ${got.count()}/10 planted pairs")
   }
 
   test("cosineNearDups recall vs exact all-pairs at the blessed operating point") {
     // regression pin for the documented recall model: at threshold 990‰ with
-    // 8 bands × 4 bits the predicted miss rate is ~0.3% — on the planted
+    // 16 bands × 10 bits the predicted miss rate is ~1e-7 — on the planted
     // corpus the LSH result must recover ≥95% of the EXACT all-pairs result
     // (computed brute-force here, affordable only at test scale)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -491,7 +492,8 @@ class OpsSpec extends AnyFunSuite {
         col("dot").cast("decimal(38,0)") * col("dot") * lit(1000000L) >=
           lit(990L * 990L) * col("na").cast("decimal(38,0)") * col("nb"))
       .select("doc_a", "doc_b").cache()
-    val lsh = Similarity.cosineNearDups(corpus, 990, 8, 4, spark)
+    val lsh = Similarity.cosineNearDups(corpus, 990,
+        SparkEntry.DedupBands, SparkEntry.DedupBitsPerBand, spark)
       .select("doc_a", "doc_b")
     val nExact = exact.count()
     assert(nExact >= 10, s"fixture must plant exact pairs, got $nExact")
@@ -745,6 +747,23 @@ class OpsSpec extends AnyFunSuite {
     // plan shape: groupBy+semi-join, no window funnel
     val plan = UrlOps.dedupByCanonUrl(pages).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan.take(1500))
+  }
+
+  test("bandSketchesKernel is row-identical to the HOF form on both vector sources") {
+    // the kernel is the production sketching path (tight long loop); the
+    // HOF form is the declarative twin the DuckDB oracles mirror — pin
+    // them row-identical on float-array (parquet) AND double-array
+    // (docVectorsKernel) inputs
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val hof = Similarity.bandSketches(emb,
+      SparkEntry.DedupBands, SparkEntry.DedupBitsPerBand, spark)
+    val ker = Similarity.bandSketchesKernel(emb,
+      SparkEntry.DedupBands, SparkEntry.DedupBitsPerBand, spark)
+    assert(hof.exceptAll(ker).count() == 0 && ker.exceptAll(hof).count() == 0)
+    val dv = graft.pipeline.VectorFeatures.docVectorsKernel(docs, spark)
+    val h2 = Similarity.bandSketches(dv, 8, 4, spark)
+    val k2 = Similarity.bandSketchesKernel(dv, 8, 4, spark)
+    assert(h2.exceptAll(k2).count() == 0 && k2.exceptAll(h2).count() == 0)
   }
 
   test("segment dedup: first global occurrence wins, within-doc repeats collapse") {
