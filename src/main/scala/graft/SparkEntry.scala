@@ -347,6 +347,10 @@ object SparkEntry {
       ops.TextAnalysis.quality(ops.Corpora.normDocs(s, dir)).orderBy(col("doc_id"))),
     "q_fingerprint" -> ((s, dir) =>
       ops.TextAnalysis.fingerprint(ops.Corpora.normDocs(s, dir)).orderBy(col("doc_id"))),
+    // per-doc salient tokens: tf desc, df asc — the determinism-safe tf-idf
+    "q_keywords" -> ((s, dir) =>
+      ops.TextAnalysis.keywords(ops.Corpora.normDocs(s, dir))
+        .orderBy(col("doc_id"), col("rank"))),
     "q_winnow" -> ((s, dir) =>
       // winnowing fingerprints as a distinct (doc_id, fingerprint) set; the
       // oracle replays the k-gram polynomial mod-M hash and the w-window
@@ -581,6 +585,16 @@ object SparkEntry {
       ops.TextAnalysis.segmentDedup(
         ops.Corpora.withExactDups(ops.Corpora.normDocs(s, dir)))
         .orderBy(col("doc_id"))),
+    // incremental snapshot-delta dedup: the delta is cleaned against the
+    // PREVIOUS snapshot's md5 + LSH-band index tables (exactly what the
+    // batch operators materialize) — never a full-corpus re-dedup
+    "q_incr_dedup" -> ((s, dir) => {
+      val (standing, delta) = ops.Corpora.incrementalSplit(ops.Corpora.normDocs(s, dir))
+      ops.Dedup.incrementalDedup(delta,
+          ops.Dedup.exact(standing).select("md5"),
+          ops.Dedup.lshBands(ops.Dedup.minhash(standing, s)), s)
+        .orderBy(col("doc_id"))
+    }),
 
     // -- similarity search --
     "q_ann_cosine" -> ((s, dir) =>
@@ -1351,6 +1365,19 @@ object SparkEntry {
       SELECT doc_id, md5(text) AS md5, substring(md5(text), 1, 16) AS fp64
       FROM norm_docs ORDER BY doc_id""",
 
+    "q_keywords" -> s"""
+      WITH $normDocsCte,
+      tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM norm_docs),
+      tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                     ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rank
+            FROM tf JOIN df ON tf.token = df.token)
+      SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df
+      FROM r WHERE rank <= ${ops.TextAnalysis.KeywordsK}
+      ORDER BY doc_id, rank""",
+
     "q_winnow" -> s"""
       WITH $normDocsCte,
       ${winnowFpCtes("norm_docs")}
@@ -1740,6 +1767,35 @@ object SparkEntry {
                                  ORDER BY seg_id), '') AS kept_text
       FROM k GROUP BY doc_id ORDER BY doc_id"""
     },
+
+    "q_incr_dedup" -> s"""
+      WITH $normDocsCte,
+      standing AS (SELECT doc_id, text FROM norm_docs WHERE doc_id < 250),
+      delta AS (
+        SELECT doc_id, text FROM norm_docs WHERE doc_id >= 250
+        UNION ALL SELECT doc_id + 1000000, text FROM norm_docs WHERE doc_id < 10
+        UNION ALL SELECT doc_id + 1000000,
+                         array_to_string(string_split(text, ' ')[4:], ' ')
+          FROM norm_docs
+          WHERE doc_id >= 10 AND doc_id < 20 AND len(string_split(text, ' ')) >= 13
+        UNION ALL SELECT doc_id + 2000000, text FROM norm_docs WHERE doc_id = 250),
+      idx_md5 AS (SELECT DISTINCT md5(text) AS md5 FROM standing),
+      hd AS (SELECT doc_id, text, md5(text) AS md5 FROM delta),
+      own AS (SELECT md5, MIN(doc_id) AS keep_id FROM hd GROUP BY 1),
+      fresh AS (
+        SELECT hd.doc_id, hd.text, hd.md5
+        FROM hd JOIN own ON hd.md5 = own.md5 AND hd.doc_id = own.keep_id
+        WHERE hd.md5 NOT IN (SELECT md5 FROM idx_md5)),
+      ${minhashBandCtes("standing", "s")},
+      ${minhashBandCtes("fresh", "f")},
+      hits AS (
+        SELECT DISTINCT f.doc_id
+        FROM fbands f JOIN sbands s2
+          ON f.band = s2.band AND f.band_sig = s2.band_sig)
+      SELECT fr.doc_id, fr.md5,
+             CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS near_hit
+      FROM fresh fr LEFT JOIN hits h ON fr.doc_id = h.doc_id
+      ORDER BY fr.doc_id""",
     "q_minhash_sig" -> s"""
       WITH $normDocsCte, $nearCorpusCte, $minhashCtes
       SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM mh ORDER BY 1, 2""",
@@ -2269,6 +2325,29 @@ object SparkEntry {
       fps AS (
         SELECT doc_id, fingerprint FROM small
         UNION ALL SELECT doc_id, fingerprint FROM big)"""
+  }
+
+  /** Prefixed minhash + LSH-band CTEs over `srcRel(doc_id, text)`: emits
+    * `${p}sh`, `${p}mh`, `${p}bands` — the parameterized twin of
+    * `minhashCtes` for oracles that band more than one corpus. */
+  private def minhashBandCtes(srcRel: String, p: String): String = {
+    val k = graft.ops.Dedup.ShingleSize
+    val n = graft.ops.Dedup.NumHashes
+    val br = graft.ops.Dedup.BandRows
+    s"""${p}sh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - ${k - 2}),
+                        i -> array_to_string(toks[i:i+${k - 1}], ' '))) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $srcRel)
+          WHERE len(toks) >= $k)),
+      ${p}mh AS (
+        SELECT doc_id, seed, MIN(md5(seed::VARCHAR || '|' || sh)) AS minhash
+        FROM ${p}sh, (SELECT unnest(range($n)) AS seed) GROUP BY 1, 2),
+      ${p}bands AS (
+        SELECT doc_id, CAST(seed // $br AS INT) AS band,
+               md5(MIN(minhash) || '|' || MAX(minhash)) AS band_sig
+        FROM ${p}mh GROUP BY doc_id, seed // $br)"""
   }
 
   private def minhashCtes: String = {

@@ -55,6 +55,28 @@ object Corpora {
     docs.union(piiDocs.toDF("doc_id", "text"))
   }
 
+  /** Incremental-dedup fixture: (standing, delta). Standing snapshot =
+    * docs < 250; delta = docs ≥ 250
+    *   + exact copies of STANDING docs 0..9 at +1,000,000 (must be dropped
+    *     by the vs-index exact level),
+    *   + near copies (first 3 of ≥13 tokens dropped) of STANDING docs
+    *     10..19 at +1,000,000 (should survive with near_hit = 1),
+    *   + an exact copy of DELTA doc 250 at +2,000,000 (must be dropped by
+    *     the within-delta first-writer-wins level). */
+  def incrementalSplit(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = split(col("text"), " ")
+    val standing = docs.filter(col("doc_id") < 250)
+    val delta = docs.filter(col("doc_id") >= 250)
+      .union(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .union(docs.filter(col("doc_id") >= 10 && col("doc_id") < 20 && size(toks) >= 13)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(toks, lit(4), size(toks)), " ").as("text")))
+      .union(docs.filter(col("doc_id") === 250)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    (standing, delta)
+  }
+
   /** + near copies (first 3 tokens dropped) of docs 0..19. */
   def withNearDups(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")

@@ -247,4 +247,41 @@ object Dedup {
         coalesce(col("cluster"), col("doc_id")).as("cluster"),
         (coalesce(col("cluster"), col("doc_id")) === col("doc_id")).as("keep"))
   }
+
+  /** INCREMENTAL (snapshot-delta) dedup: clean a batch of NEW docs against
+    * a STANDING corpus index without re-deduplicating the standing corpus.
+    * At 10^12 docs a full re-dedup per crawl snapshot is quadratic in
+    * snapshots; the production loop instead keeps the previous snapshot's
+    * content-hash and LSH band tables (exactly what `exact` and `lshBands`
+    * already materialize) and runs only the delta against them.
+    *
+    * Levels, mirroring the batch operators:
+    *   1. within-delta exact: first-writer-wins on the content md5 (two
+    *      copies of a new page in one snapshot keep one);
+    *   2. vs-index exact: survivors whose md5 exists in `indexMd5` are
+    *      DROPPED (left-anti on the hash — an SMJ on a uniform key at
+    *      scale, never a broadcast of the 10^12-row index);
+    *   3. vs-index near: survivors sharing ANY LSH band bucket with
+    *      `indexBands` are FLAGGED (near_hit = 1), not dropped — band
+    *      collision is candidate evidence, routed to the same bounded
+    *      in-row Jaccard verify the batch path uses.
+    *
+    * Output: one row per SURVIVING delta doc — (doc_id, md5, near_hit). */
+  def incrementalDedup(delta: DataFrame, indexMd5: DataFrame,
+                       indexBands: DataFrame, spark: SparkSession): DataFrame = {
+    val h = delta.select(col("doc_id"), col("text"), md5(col("text")).as("md5"))
+    // groupBy + equi-join, not a window: the hot-hash discipline of `exact`
+    val own = h.groupBy("md5").agg(min(col("doc_id")).as("keep_id"))
+    val fresh = h.join(own, "md5").filter(col("doc_id") === col("keep_id"))
+      .join(indexMd5.select("md5").distinct(), Seq("md5"), "left_anti")
+      .select("doc_id", "text", "md5")
+    val flagged = lshBands(minhash(fresh, spark))
+      .join(indexBands.select("band", "band_sig").distinct(),
+        Seq("band", "band_sig"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("near_hit", lit(1))
+    fresh.join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("md5"),
+        coalesce(col("near_hit"), lit(0)).as("near_hit"))
+  }
 }

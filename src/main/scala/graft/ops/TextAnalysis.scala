@@ -409,6 +409,37 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Keyword top-k for the demo query, shared with the DuckDB oracle. */
+  val KeywordsK = 5
+
+  /** Per-doc salient-token extraction (the tf-idf class, determinism-safe):
+    * tokens ranked by (tf desc, df asc, token asc) — highest in-document
+    * frequency first, rarest-in-corpus as the tiebreak. A float idf
+    * (ln N/df) would hang bit-reproducibility on libm differences between
+    * engines; at fixed tf the rank order ln(N/df) induces is EXACTLY
+    * df ascending, so the integer form is order-equivalent per document
+    * and bit-stable. Output: (doc_id, rank, token, tf, df).
+    *
+    * Scale shape: tf is a map-side-combinable (doc, token) aggregation;
+    * df aggregates the tf rows, so a viral token ("the" in 10^12 docs) is
+    * ONE df row; the df attach is a broadcast join (vocabulary-bounded —
+    * at a web-scale vocabulary swap for an SMJ and note the viral-token
+    * key skew is exactly the `Skew.saltedJoin` case, since every doc holds
+    * the hot token); the rank window partitions by doc_id — bounded by a
+    * single document's distinct-token count, never a global funnel. */
+  def keywords(docs: DataFrame, k: Int = KeywordsK): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(broadcast(df), "token")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"))
+  }
+
   /** Segment width (tokens) for segment-level dedup, shared with the
     * DuckDB oracle. Real pipelines use the natural paragraph/line break;
     * the synthetic corpus has none, so fixed token blocks stand in. */

@@ -749,6 +749,44 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(1500))
   }
 
+  test("keywords: tf desc then df asc then token asc on a hand corpus") {
+    import spark.implicits._
+    // df: a=1 b=2 c=2 d=1 — doc1 ranks a (tf 2) then b before c (tf tie,
+    // df tie, token asc); doc2 ranks c (tf 2) then d before b (df 1 < 2)
+    val tiny = Seq((1L, "a a b c"), (2L, "b c c d")).toDF("doc_id", "text")
+    val r = TextAnalysis.keywords(tiny, k = 2).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> ((x.getString(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    assert(r((1L, 1)) == (("a", 2L, 1L)))
+    assert(r((1L, 2)) == (("b", 1L, 2L)))
+    assert(r((2L, 1)) == (("c", 2L, 2L)))
+    assert(r((2L, 2)) == (("d", 1L, 1L)))
+    assert(r.size == 4)
+  }
+
+  test("incremental dedup: index copies dropped, near copies flagged, delta self-dedup") {
+    val (standing, delta) = Corpora.incrementalSplit(docs)
+    val idxMd5 = Dedup.exact(standing).select("md5")
+    val idxBands = Dedup.lshBands(Dedup.minhash(standing, spark))
+    val out = Dedup.incrementalDedup(delta, idxMd5, idxBands, spark).cache()
+    try {
+      // exact copies of standing docs (+1M, ids < 1000010) must be dropped
+      assert(out.filter(col("doc_id") >= 1000000L && col("doc_id") < 1000010L).count() == 0)
+      // the within-delta copy (+2M) must lose to its first writer (doc 250)
+      assert(out.filter(col("doc_id") >= 2000000L).count() == 0)
+      assert(out.filter(col("doc_id") === 250L).count() == 1)
+      // near copies of standing docs survive AND are flagged (LSH recall)
+      val near = out.filter(col("doc_id") >= 1000010L && col("doc_id") < 1000020L)
+      val nNear = near.count()
+      assert(nNear >= 9, s"near copies lost: $nNear/10 survive")
+      val flagged = near.filter(col("near_hit") === 1).count()
+      assert(flagged >= (nNear * 9) / 10, s"flagged only $flagged/$nNear near copies")
+      // a genuinely new doc is never dropped: every 250..499 id present
+      assert(out.filter(col("doc_id") >= 250L && col("doc_id") < 500L).count() ==
+        docs.filter(col("doc_id") >= 250L).count())
+    } finally out.unpersist()
+  }
+
   test("bandSketchesKernel is row-identical to the HOF form on both vector sources") {
     // the kernel is the production sketching path (tight long loop); the
     // HOF form is the declarative twin the DuckDB oracles mirror — pin
