@@ -351,6 +351,17 @@ object SparkEntry {
     "q_keywords" -> ((s, dir) =>
       ops.TextAnalysis.keywords(ops.Corpora.normDocs(s, dir))
         .orderBy(col("doc_id"), col("rank"))),
+    // the COMPOSED cleaning chain's attrition curve: lang → quality →
+    // repetition → decontam → exact dedup, every gate integer-exact so the
+    // whole pipeline policy replays in DuckDB; corpus carries planted
+    // exact dups, bench = the doc_id % 97 eval slice
+    "q_pipeline" -> ((s, dir) => {
+      val all = ops.Corpora.normDocs(s, dir)
+      ops.TrainingData.attrition(
+          ops.Corpora.withExactDups(all.filter(col("doc_id") % 97 =!= 0)),
+          all.filter(col("doc_id") % 97 === 0), s)
+        .orderBy(col("stage_id"))
+    }),
     "q_winnow" -> ((s, dir) =>
       // winnowing fingerprints as a distinct (doc_id, fingerprint) set; the
       // oracle replays the k-gram polynomial mod-M hash and the w-window
@@ -1377,6 +1388,63 @@ object SparkEntry {
       SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df
       FROM r WHERE rank <= ${ops.TextAnalysis.KeywordsK}
       ORDER BY doc_id, rank""",
+
+    "q_pipeline" -> {
+      import graft.ops.{TextAnalysis => TA, TrainingData => TD}
+      val n = TA.DecontamN
+      s"""
+      WITH $normDocsCte,
+      bench AS (SELECT doc_id, text FROM norm_docs WHERE doc_id % 97 = 0),
+      corpus0 AS (SELECT doc_id, text FROM norm_docs WHERE doc_id % 97 <> 0),
+      corpus AS (SELECT doc_id, text FROM corpus0
+                 UNION ALL SELECT doc_id + 1000000, text FROM corpus0 WHERE doc_id < 20),
+      t1 AS (SELECT doc_id, text FROM corpus
+             WHERE len(list_filter(string_split(text, ' '),
+                       t -> list_contains($enMarkerSqlList, t))) * 1000
+                   // len(string_split(text, ' ')) >= 30),
+      t2 AS (SELECT doc_id, text FROM t1
+             WHERE len(string_split(text, ' ')) >= 10
+               AND len(list_distinct(string_split(text, ' '))) * 1000
+                   // len(string_split(text, ' ')) >= 100),
+      rt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM t2),
+      rbase AS (SELECT doc_id, len(toks) AS n_toks,
+                       len(list_distinct(toks)) AS n_distinct FROM rt),
+      rg AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i + 1])) AS gram
+             FROM rt WHERE len(toks) >= 2),
+      rgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM rg GROUP BY 1, 2),
+      rgt AS (SELECT doc_id, MAX(c) AS max_gram, SUM(c) AS n_grams
+              FROM rgc GROUP BY 1),
+      t3 AS (SELECT t2.doc_id, t2.text
+             FROM t2 JOIN rbase b ON t2.doc_id = b.doc_id
+             LEFT JOIN rgt g ON t2.doc_id = g.doc_id
+             WHERE ((b.n_toks - b.n_distinct) * 1000) // b.n_toks <= ${TD.MaxDupTokPermille}
+               AND COALESCE((g.max_gram * 1000) // g.n_grams, 0) <= ${TD.MaxTopGramPermille}),
+      dg AS (SELECT DISTINCT doc_id,
+                    array_to_string(toks[i : i + ${n - 1}], ' ') AS gram
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM t3),
+                  UNNEST(generate_series(1, greatest(len(toks) - ${n - 1}, 0))) AS u(i)),
+      bg AS (SELECT DISTINCT array_to_string(toks[i : i + ${n - 1}], ' ') AS gram
+             FROM (SELECT string_split(text, ' ') AS toks FROM bench),
+                  UNNEST(generate_series(1, greatest(len(toks) - ${n - 1}, 0))) AS u(i)),
+      contam AS (SELECT dg.doc_id FROM dg JOIN bg USING (gram)
+                 GROUP BY dg.doc_id HAVING COUNT(*) >= ${TA.DecontamMinHits}),
+      t4 AS (SELECT doc_id, text FROM t3
+             WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      dd AS (SELECT doc_id, md5(text) AS h FROM t4),
+      ddk AS (SELECT h, MIN(doc_id) AS keep_id FROM dd GROUP BY 1),
+      t5 AS (SELECT dd.doc_id FROM dd JOIN ddk
+             ON dd.h = ddk.h AND dd.doc_id = ddk.keep_id)
+      SELECT * FROM (
+        SELECT 0 AS stage_id, 'ingest' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM corpus
+        UNION ALL SELECT 1, 'lang', CAST(COUNT(*) AS BIGINT) FROM t1
+        UNION ALL SELECT 2, 'quality', CAST(COUNT(*) AS BIGINT) FROM t2
+        UNION ALL SELECT 3, 'repetition', CAST(COUNT(*) AS BIGINT) FROM t3
+        UNION ALL SELECT 4, 'decontam', CAST(COUNT(*) AS BIGINT) FROM t4
+        UNION ALL SELECT 5, 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM t5)
+      ORDER BY stage_id"""
+    },
 
     "q_winnow" -> s"""
       WITH $normDocsCte,

@@ -272,11 +272,14 @@ object Dedup {
     val h = delta.select(col("doc_id"), col("text"), md5(col("text")).as("md5"))
     // groupBy + equi-join, not a window: the hot-hash discipline of `exact`
     val own = h.groupBy("md5").agg(min(col("doc_id")).as("keep_id"))
+    // no .distinct() on the index sides: anti/semi joins are insensitive
+    // to duplicate build-side keys, and a distinct would full-shuffle the
+    // 10^12-row index before the join can prune anything
     val fresh = h.join(own, "md5").filter(col("doc_id") === col("keep_id"))
-      .join(indexMd5.select("md5").distinct(), Seq("md5"), "left_anti")
+      .join(indexMd5.select("md5"), Seq("md5"), "left_anti")
       .select("doc_id", "text", "md5")
     val flagged = lshBands(minhash(fresh, spark))
-      .join(indexBands.select("band", "band_sig").distinct(),
+      .join(indexBands.select("band", "band_sig"),
         Seq("band", "band_sig"), "left_semi")
       .select(col("doc_id")).distinct()
       .withColumn("near_hit", lit(1))

@@ -749,6 +749,38 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(1500))
   }
 
+  test("training-data pipeline: monotone attrition, every gate actually enforced") {
+    val all = docs
+    val bench = all.filter(col("doc_id") % 97 === 0)
+    val corpus = Corpora.withExactDups(all.filter(col("doc_id") % 97 =!= 0))
+    val att = TrainingData.attrition(corpus, bench, spark)
+      .orderBy(col("stage_id")).collect()
+    // monotone non-increasing survival, and each demo gate actually bites
+    val counts = att.map(_.getLong(2))
+    assert(counts.sliding(2).forall(p => p(1) <= p(0)), counts.mkString(","))
+    assert(counts.last < counts.head)
+    val out = TrainingData.survivors(corpus, bench, spark).cache()
+    try {
+      assert(out.count() == counts.last)
+      // no survivor violates any gate it passed through
+      assert(TextAnalysis.langId(out).filter(col("lang_pred") =!= "en").count() == 0)
+      assert(TextAnalysis.quality(out).filter(!col("keep")).count() == 0)
+      assert(TextAnalysis.repetitionStats(out, spark)
+        .filter(col("dup_tok_permille") > TrainingData.MaxDupTokPermille ||
+          col("top_gram_permille") > TrainingData.MaxTopGramPermille).count() == 0)
+      assert(TextAnalysis.decontaminationStats(out, bench)
+        .filter(col("contaminated")).count() == 0)
+      assert(out.groupBy(md5(col("text"))).count().filter(col("count") > 1).count() == 0)
+      // a planted copy never survives alongside its original
+      val survIds = out.select(col("doc_id")).cache()
+      val both = survIds.filter(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("doc_id"))
+        .join(survIds, Seq("doc_id"), "left_semi").count()
+      assert(both == 0, s"$both duplicate pairs both survived")
+      survIds.unpersist()
+    } finally out.unpersist()
+  }
+
   test("keywords: tf desc then df asc then token asc on a hand corpus") {
     import spark.implicits._
     // df: a=1 b=2 c=2 d=1 — doc1 ranks a (tf 2) then b before c (tf tie,
