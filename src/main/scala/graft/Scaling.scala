@@ -98,7 +98,12 @@ object Scaling {
     *  - "dedup": pages scan → html→text → exact-dedup canonical map +
     *    MinHash/LSH candidate pairs (counted together) — the LLM-pipeline
     *    dedup stage's own two-parallelism evidence; reported "triples"
-    *    are candidate pairs + duplicate groups. */
+    *    are candidate pairs + duplicate groups;
+    *  - "pipeline": pages scan → html→text → the COMPOSED cleaning chain
+    *    (`ops.TrainingData.survivors`: lang → quality → repetition →
+    *    decontam → exact dedup; bench slice = doc_id %% 97) — the
+    *    LLM-training-data policy end-to-end; reported "triples" are
+    *    surviving documents. */
   // lazy val: the job/dict selection is read and validated exactly ONCE per
   // process — a mid-run env mutation can never mix kernels (or dictionaries)
   // within one sweep's output labels
@@ -106,9 +111,9 @@ object Scaling {
     val j = sys.env.getOrElse("SPARK_GRAFT_JOB", "rule")
     // a typo must fail loudly, not silently bench the rule kernel under
     // the typo'd label
-    require(Set("rule", "injected", "enrich", "enrich_unsalted", "dedup")
-      .contains(j),
-      s"SPARK_GRAFT_JOB must be rule|injected|enrich|enrich_unsalted|dedup, got: $j")
+    require(Set("rule", "injected", "enrich", "enrich_unsalted", "dedup",
+      "pipeline").contains(j),
+      s"SPARK_GRAFT_JOB must be rule|injected|enrich|enrich_unsalted|dedup|pipeline, got: $j")
     j
   }
 
@@ -236,6 +241,11 @@ object Scaling {
           graft.ops.Dedup.lshBands(graft.ops.Dedup.minhash(corpus, spark)))
           .count()
         exactGroups + candPairs
+      case "pipeline" =>
+        val c = pages.select(col("doc_id"), col("text"))
+        graft.ops.TrainingData.survivors(
+          c.filter(col("doc_id") % 97 =!= 0),
+          c.filter(col("doc_id") % 97 === 0), spark).count()
       case _ => Stages.extractTriplesKernelWith(pages, spark, dict).count()
     }
     val secs = (System.nanoTime() - t0) / 1e9

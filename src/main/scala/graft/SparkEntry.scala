@@ -354,13 +354,14 @@ object SparkEntry {
     // the COMPOSED cleaning chain's attrition curve: lang → quality →
     // repetition → decontam → exact dedup, every gate integer-exact so the
     // whole pipeline policy replays in DuckDB; corpus carries planted
-    // exact dups, bench = the doc_id % 97 eval slice
+    // exact dups AND planted verbatim eval-leak copies (+3M) of the
+    // doc_id % 97 bench slice
     "q_pipeline" -> ((s, dir) => {
       val all = ops.Corpora.normDocs(s, dir)
-      ops.TrainingData.attrition(
-          ops.Corpora.withExactDups(all.filter(col("doc_id") % 97 =!= 0)),
-          all.filter(col("doc_id") % 97 === 0), s)
-        .orderBy(col("stage_id"))
+      val bench = all.filter(col("doc_id") % 97 === 0)
+      val corpus = ops.Corpora.withExactDups(all.filter(col("doc_id") % 97 =!= 0))
+        .union(bench.select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      ops.TrainingData.attrition(corpus, bench, s).orderBy(col("stage_id"))
     }),
     "q_winnow" -> ((s, dir) =>
       // winnowing fingerprints as a distinct (doc_id, fingerprint) set; the
@@ -1390,14 +1391,15 @@ object SparkEntry {
       ORDER BY doc_id, rank""",
 
     "q_pipeline" -> {
-      import graft.ops.{TextAnalysis => TA, TrainingData => TD}
-      val n = TA.DecontamN
+      import graft.ops.{TrainingData => TD}
+      val n = TD.PipelineDecontamN
       s"""
       WITH $normDocsCte,
       bench AS (SELECT doc_id, text FROM norm_docs WHERE doc_id % 97 = 0),
       corpus0 AS (SELECT doc_id, text FROM norm_docs WHERE doc_id % 97 <> 0),
       corpus AS (SELECT doc_id, text FROM corpus0
-                 UNION ALL SELECT doc_id + 1000000, text FROM corpus0 WHERE doc_id < 20),
+                 UNION ALL SELECT doc_id + 1000000, text FROM corpus0 WHERE doc_id < 20
+                 UNION ALL SELECT doc_id + 3000000, text FROM bench),
       t1 AS (SELECT doc_id, text FROM corpus
              WHERE len(list_filter(string_split(text, ' '),
                        t -> list_contains($enMarkerSqlList, t))) * 1000
@@ -1428,8 +1430,11 @@ object SparkEntry {
       bg AS (SELECT DISTINCT array_to_string(toks[i : i + ${n - 1}], ' ') AS gram
              FROM (SELECT string_split(text, ' ') AS toks FROM bench),
                   UNNEST(generate_series(1, greatest(len(toks) - ${n - 1}, 0))) AS u(i)),
-      contam AS (SELECT dg.doc_id FROM dg JOIN bg USING (gram)
-                 GROUP BY dg.doc_id HAVING COUNT(*) >= ${TA.DecontamMinHits}),
+      dgc AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY 1),
+      dh AS (SELECT dg.doc_id, COUNT(*) AS h FROM dg JOIN bg USING (gram)
+             GROUP BY 1),
+      contam AS (SELECT dh.doc_id FROM dh JOIN dgc ON dh.doc_id = dgc.doc_id
+                 WHERE dh.h * 1000 // dgc.n >= ${TD.MaxContamPermille}),
       t4 AS (SELECT doc_id, text FROM t3
              WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
       dd AS (SELECT doc_id, md5(text) AS h FROM t4),

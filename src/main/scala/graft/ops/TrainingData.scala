@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *   3 repetition gate      (TextAnalysis.repetitionStats:
   *                           dup_tok ≤ MaxDupTokPermille ∧
   *                           top_gram ≤ MaxTopGramPermille)
-  *   4 decontamination gate (TextAnalysis.decontaminate vs the eval set)
+  *   4 decontamination gate (TextAnalysis.decontaminationStats vs the
+  *                           eval set: contam ≥ MaxContamPermille drops)
   *   5 exact dedup          (Dedup.exact: canonical keep)
   *
   * `survivors` returns the cleaned (doc_id, text) frame the chunk / pack /
@@ -42,26 +43,66 @@ object TrainingData {
   val MaxDupTokPermille = 600
   val MaxTopGramPermille = 200
 
+  /** Decontamination gate: drop a doc when ≥ this share of its distinct
+    * n-grams appears in the eval set (the GPT-3 appendix-C "clean"
+    * criterion is overlap-SHARE, not an absolute hit count). The absolute
+    * `DecontamMinHits` form stays available as `TextAnalysis.decontaminate`
+    * (oracle q_decontam), but it is statistically degenerate for a
+    * pipeline gate on a small-vocabulary corpus: measured on the 100k-doc
+    * scaling corpus, a 1k-doc bench slice saturates the 3-gram space and
+    * ≥3-hits marks EVERY document — the permille form keeps incidental
+    * overlap passing while verbatim eval leaks (1000‰) always drop. */
+  val MaxContamPermille = 500
+
+  /** Pipeline decontam n-gram width. WIDER than the standalone
+    * q_decontam demo (DecontamN = 3) on measurement: the 30-word fixture
+    * vocabulary means a 1k-doc bench slice covers ~the whole 3-gram space
+    * (30³ = 27k), pushing every doc's overlap SHARE past any sane
+    * threshold (the 100k-doc sweep kept 1 survivor). At n = 5 the space is
+    * 30⁵ ≈ 24.3M: incidental coverage ~0.6% → ~6‰ per doc, verbatim leaks
+    * still 1000‰. Real pipelines run 13-grams for exactly this separation
+    * (GPT-3 appendix C). */
+  val PipelineDecontamN = 5
+
   /** Progressive survivor frames, one per stage (stage_id, name, frame).
-    * Each frame is (doc_id, text). */
+    * Each frame is (doc_id, text).
+    *
+    * EVERY stage boundary is eagerly materialized (localCheckpoint): each
+    * gate consumes its input frame TWICE (the frame + the stat frame it is
+    * semi-joined against), so a lazy chain duplicates the upstream subtree
+    * 2× per stage — 2⁵ copies of the scan by stage 5, and the attrition
+    * union multiplies that again. Measured: the lazy form exploded to
+    * >9,000 Spark stages (plan/codegen storm, tasks serializing on the
+    * compile lock); the checkpointed form is six linear jobs. This is
+    * also the production shape — a real pipeline materializes each stage
+    * boundary anyway (that is where you read the attrition numbers). */
   private def stages(docs: DataFrame, bench: DataFrame,
                      spark: SparkSession): Seq[(Int, String, DataFrame)] = {
-    val s1 = docs.join(
-      TextAnalysis.langId(docs).filter(col("lang_pred") === "en")
+    val d0 = docs.localCheckpoint(true)
+    val s1 = d0.join(
+      TextAnalysis.langId(d0).filter(col("lang_pred") === "en")
         .select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
     val s2 = s1.join(
       TextAnalysis.quality(s1).filter(col("keep")).select("doc_id"),
       Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
     val s3 = s2.join(
       TextAnalysis.repetitionStats(s2, spark)
         .filter(col("dup_tok_permille") <= MaxDupTokPermille &&
           col("top_gram_permille") <= MaxTopGramPermille)
         .select("doc_id"), Seq("doc_id"), "left_semi")
-    val s4 = TextAnalysis.decontaminate(s3, bench)
+      .localCheckpoint(true)
+    val s4 = s3.join(
+      TextAnalysis.decontaminationStats(s3, bench, n = PipelineDecontamN)
+        .filter(col("contam_permille") >= MaxContamPermille)
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     val s5 = s4.join(
       Dedup.exact(s4).filter(col("keep")).select("doc_id"),
       Seq("doc_id"), "left_semi")
-    Seq((0, "ingest", docs), (1, "lang", s1), (2, "quality", s2),
+      .localCheckpoint(true)
+    Seq((0, "ingest", d0), (1, "lang", s1), (2, "quality", s2),
       (3, "repetition", s3), (4, "decontam", s4), (5, "exact_dedup", s5))
   }
 
@@ -70,7 +111,9 @@ object TrainingData {
                 spark: SparkSession): DataFrame =
     stages(docs, bench, spark).last._3
 
-  /** Per-stage survival report: (stage_id, stage, n_docs). */
+  /** Per-stage survival report: (stage_id, stage, n_docs) — counts over
+    * the materialized stage boundaries, so the report costs six cached
+    * counts on top of the `survivors` work it shares. */
   def attrition(docs: DataFrame, bench: DataFrame,
                 spark: SparkSession): DataFrame =
     stages(docs, bench, spark).map { case (i, name, df) =>

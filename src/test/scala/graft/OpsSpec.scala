@@ -753,6 +753,7 @@ class OpsSpec extends AnyFunSuite {
     val all = docs
     val bench = all.filter(col("doc_id") % 97 === 0)
     val corpus = Corpora.withExactDups(all.filter(col("doc_id") % 97 =!= 0))
+      .union(bench.select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
     val att = TrainingData.attrition(corpus, bench, spark)
       .orderBy(col("stage_id")).collect()
     // monotone non-increasing survival, and each demo gate actually bites
@@ -768,8 +769,15 @@ class OpsSpec extends AnyFunSuite {
       assert(TextAnalysis.repetitionStats(out, spark)
         .filter(col("dup_tok_permille") > TrainingData.MaxDupTokPermille ||
           col("top_gram_permille") > TrainingData.MaxTopGramPermille).count() == 0)
-      assert(TextAnalysis.decontaminationStats(out, bench)
-        .filter(col("contaminated")).count() == 0)
+      assert(TextAnalysis.decontaminationStats(out, bench,
+          n = TrainingData.PipelineDecontamN)
+        .filter(col("contam_permille") >= TrainingData.MaxContamPermille)
+        .count() == 0)
+      // planted verbatim eval leaks (+3M copies of bench docs) never
+      // survive — they are 1000-permille contaminated by construction
+      // (those that reach the decontam stage), and the ones stopped
+      // earlier are still gone
+      assert(out.filter(col("doc_id") >= 3000000L).count() == 0)
       assert(out.groupBy(md5(col("text"))).count().filter(col("count") > 1).count() == 0)
       // a planted copy never survives alongside its original
       val survIds = out.select(col("doc_id")).cache()
