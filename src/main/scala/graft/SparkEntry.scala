@@ -607,6 +607,18 @@ object SparkEntry {
           ops.Dedup.lshBands(ops.Dedup.minhash(standing, s)), s)
         .orderBy(col("doc_id"))
     }),
+    // the same snapshot-delta dedup as a STREAM: delta pages arrive in
+    // micro-batches, the standing md5/band index tables are static sides;
+    // band sigs in-row (one-aggregation-per-stream rule)
+    "q_stream_incr_dedup" -> ((s, dir) => {
+      val standing = ops.Corpora.incrementalSplit(ops.Corpora.normDocs(s, dir))._1
+      streaming.StreamingExtraction.runBoundedIncrementalDedup(s,
+          streaming.StreamingExtraction.stageDeltaDocsDir(s, dir, 4),
+          ops.Dedup.exact(standing).select("md5"),
+          ops.Dedup.lshBands(ops.Dedup.minhash(standing, s)),
+          "q_stream_incr_dedup_sink", maxFilesPerTrigger = 1)
+        .orderBy(col("keep_doc"))
+    }),
 
     // -- similarity search --
     "q_ann_cosine" -> ((s, dir) =>
@@ -1842,30 +1854,14 @@ object SparkEntry {
     },
 
     "q_incr_dedup" -> s"""
-      WITH $normDocsCte,
-      standing AS (SELECT doc_id, text FROM norm_docs WHERE doc_id < 250),
-      delta AS (
-        SELECT doc_id, text FROM norm_docs WHERE doc_id >= 250
-        UNION ALL SELECT doc_id + 1000000, text FROM norm_docs WHERE doc_id < 10
-        UNION ALL SELECT doc_id + 1000000,
-                         array_to_string(string_split(text, ' ')[4:], ' ')
-          FROM norm_docs
-          WHERE doc_id >= 10 AND doc_id < 20 AND len(string_split(text, ' ')) >= 13
-        UNION ALL SELECT doc_id + 2000000, text FROM norm_docs WHERE doc_id = 250),
-      idx_md5 AS (SELECT DISTINCT md5(text) AS md5 FROM standing),
-      hd AS (SELECT doc_id, text, md5(text) AS md5 FROM delta),
-      own AS (SELECT md5, MIN(doc_id) AS keep_id FROM hd GROUP BY 1),
-      fresh AS (
-        SELECT hd.doc_id, hd.text, hd.md5
-        FROM hd JOIN own ON hd.md5 = own.md5 AND hd.doc_id = own.keep_id
-        WHERE hd.md5 NOT IN (SELECT md5 FROM idx_md5)),
-      ${minhashBandCtes("standing", "s")},
-      ${minhashBandCtes("fresh", "f")},
-      hits AS (
-        SELECT DISTINCT f.doc_id
-        FROM fbands f JOIN sbands s2
-          ON f.band = s2.band AND f.band_sig = s2.band_sig)
+      WITH $incrDedupCtes
       SELECT fr.doc_id, fr.md5,
+             CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS near_hit
+      FROM fresh fr LEFT JOIN hits h ON fr.doc_id = h.doc_id
+      ORDER BY fr.doc_id""",
+    "q_stream_incr_dedup" -> s"""
+      WITH $incrDedupCtes
+      SELECT fr.md5 AS content_md5, fr.doc_id AS keep_doc,
              CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS near_hit
       FROM fresh fr LEFT JOIN hits h ON fr.doc_id = h.doc_id
       ORDER BY fr.doc_id""",
@@ -2399,6 +2395,34 @@ object SparkEntry {
         SELECT doc_id, fingerprint FROM small
         UNION ALL SELECT doc_id, fingerprint FROM big)"""
   }
+
+  /** Shared CTE body for the incremental-dedup oracles (batch + stream):
+    * standing/delta split, within-delta first-writer-wins, vs-index
+    * anti, vs-index band hits — ends with `fresh(doc_id, text, md5)` and
+    * `hits(doc_id)`. */
+  private def incrDedupCtes: String = s"""$normDocsCte,
+      standing AS (SELECT doc_id, text FROM norm_docs WHERE doc_id < 250),
+      delta AS (
+        SELECT doc_id, text FROM norm_docs WHERE doc_id >= 250
+        UNION ALL SELECT doc_id + 1000000, text FROM norm_docs WHERE doc_id < 10
+        UNION ALL SELECT doc_id + 1000000,
+                         array_to_string(string_split(text, ' ')[4:], ' ')
+          FROM norm_docs
+          WHERE doc_id >= 10 AND doc_id < 20 AND len(string_split(text, ' ')) >= 13
+        UNION ALL SELECT doc_id + 2000000, text FROM norm_docs WHERE doc_id = 250),
+      idx_md5 AS (SELECT DISTINCT md5(text) AS md5 FROM standing),
+      hd AS (SELECT doc_id, text, md5(text) AS md5 FROM delta),
+      own AS (SELECT md5, MIN(doc_id) AS keep_id FROM hd GROUP BY 1),
+      fresh AS (
+        SELECT hd.doc_id, hd.text, hd.md5
+        FROM hd JOIN own ON hd.md5 = own.md5 AND hd.doc_id = own.keep_id
+        WHERE hd.md5 NOT IN (SELECT md5 FROM idx_md5)),
+      ${minhashBandCtes("standing", "s")},
+      ${minhashBandCtes("fresh", "f")},
+      hits AS (
+        SELECT DISTINCT f.doc_id
+        FROM fbands f JOIN sbands s2
+          ON f.band = s2.band AND f.band_sig = s2.band_sig)"""
 
   /** Prefixed minhash + LSH-band CTEs over `srcRel(doc_id, text)`: emits
     * `${p}sh`, `${p}mh`, `${p}bands` — the parameterized twin of

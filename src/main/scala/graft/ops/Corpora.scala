@@ -55,6 +55,11 @@ object Corpora {
     docs.union(piiDocs.toDF("doc_id", "text"))
   }
 
+  /** Version token for the DERIVED incremental-split delta stage (see
+    * DupPlantVersion): bump on any semantic change to `incrementalSplit`
+    * or normDocs. */
+  val IncrSplitVersion = 1
+
   /** Incremental-dedup fixture: (standing, delta). Standing snapshot =
     * docs < 250; delta = docs ≥ 250
     *   + exact copies of STANDING docs 0..9 at +1,000,000 (must be dropped

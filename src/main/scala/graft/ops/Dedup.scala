@@ -248,6 +248,37 @@ object Dedup {
         (coalesce(col("cluster"), col("doc_id")) === col("doc_id")).as("keep"))
   }
 
+  /** In-row LSH band signatures over a text column: array of
+    * (band, band_sig) structs, value-identical to
+    * `lshBands(minhash(docs))` rows (spec-pinned) but computed with ZERO
+    * shuffles — shingles, all NumHashes minhashes, and the per-band
+    * (min,max) signature hash are array HOFs over the single row. This is
+    * the STREAMING shape: a stream allows only one aggregation per query,
+    * and the batch form spends its two groupBys getting per-doc minima
+    * that a row already owns. Docs shorter than ShingleSize tokens get an
+    * EMPTY array (no shingles → no bands, exactly like the batch path). */
+  def inRowBandSigs(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val k = ShingleSize
+    val toks = split(text, " ")
+    val sh = array_distinct(transform(
+      sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(k)))))
+    val mhs = transform(sequence(lit(0), lit(NumHashes - 1)), s =>
+      array_min(transform(sh, shi =>
+        md5(concat(s.cast("string"), lit("|"), shi).cast("binary")))))
+    def mh(b: org.apache.spark.sql.Column, r: Int) =
+      element_at(mhs, (b * BandRows + r + 1).cast("int"))
+    // the when-guard keeps sequence() from ever seeing stop < start (it
+    // would generate DESCENDING values, not an empty array)
+    when(size(toks) >= k,
+      transform(sequence(lit(0), lit(NumHashes / BandRows - 1)), b =>
+        struct(b.cast("int").as("band"),
+          md5(concat(least(mh(b, 0), mh(b, 1)), lit("|"),
+            greatest(mh(b, 0), mh(b, 1))).cast("binary")).as("band_sig"))))
+      .otherwise(
+        expr("CAST(array() AS array<struct<band:int,band_sig:string>>)"))
+  }
+
   /** INCREMENTAL (snapshot-delta) dedup: clean a batch of NEW docs against
     * a STANDING corpus index without re-deduplicating the standing corpus.
     * At 10^12 docs a full re-dedup per crawl snapshot is quadratic in

@@ -150,6 +150,69 @@ object StreamingExtraction {
     * docs 0..19, `Corpora.withExactDups`) into an n-file feed directory —
     * positives for the streaming dedup. Same source-fingerprint keying as
     * [[stageDocsDir]]. */
+  /** Streaming INCREMENTAL dedup — the snapshot-delta ingestion loop as a
+    * stream: new pages arrive continuously, the PREVIOUS snapshot's
+    * content-md5 and LSH-band index tables join in as STATIC sides
+    * (stream-static joins re-read a static plan per micro-batch; on a real
+    * deployment they are the previous Iceberg snapshot).
+    *
+    * Same three levels as the batch `Dedup.incrementalDedup`, re-shaped
+    * for the one-aggregation-per-stream rule:
+    *   - vs-index exact: stream-static LEFT-ANTI on the content hash;
+    *   - vs-index near: band signatures computed IN-ROW
+    *     (`Dedup.inRowBandSigs` — the batch form's two groupBys would be a
+    *     second and third aggregation), exploded and left-joined against
+    *     the static band index (distinct'd once at query start);
+    *   - within-delta exact: THE one streaming aggregation — running
+    *     (min doc_id, max near_hit) per content hash, Update mode; both
+    *     running values are monotone, so the terminal min/max per key is
+    *     the global answer (split-invariant, same argument as
+    *     `runBoundedDedup`).
+    * Output rows: (content_md5, keep_doc, near_hit) — identical DATA to
+    * the batch operator's (md5, doc_id, near_hit), spec-pinned. */
+  def runBoundedIncrementalDedup(spark: SparkSession, deltaDir: String,
+                                 indexMd5: DataFrame, indexBands: DataFrame,
+                                 name: String,
+                                 maxFilesPerTrigger: Int = Int.MaxValue): DataFrame = {
+    val schema = spark.read.parquet(deltaDir).schema
+    val bandsIdx = indexBands.select(col("band"), col("band_sig")).distinct()
+      .withColumn("hit", lit(1))
+    val updates = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(deltaDir)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("content_md5"))
+      .join(indexMd5.withColumnRenamed("md5", "content_md5"),
+        Seq("content_md5"), "left_anti")
+      .select(col("doc_id"), col("content_md5"),
+        explode_outer(graft.ops.Dedup.inRowBandSigs(col("text"))).as("b"))
+      .select(col("doc_id"), col("content_md5"),
+        col("b.band").as("band"), col("b.band_sig").as("band_sig"))
+      .join(bandsIdx, Seq("band", "band_sig"), "left_outer")
+      .groupBy("content_md5")
+      .agg(min(col("doc_id")).as("keep_doc"),
+        max(coalesce(col("hit"), lit(0))).as("near_hit"))
+    val q = updates.writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).groupBy("content_md5")
+      .agg(min(col("keep_doc")).as("keep_doc"),
+        max(col("near_hit")).as("near_hit"))
+  }
+
+  /** Stage the incremental-split DELTA feed (derived content — versioned
+    * like the dupdocs stage). */
+  def stageDeltaDocsDir(spark: SparkSession, sfDir: String, n: Int): String = {
+    val out = stagePathFor(sfDir, n,
+      s"deltadocs_v${graft.ops.Corpora.IncrSplitVersion}")
+    val done = new java.io.File(out, "_SUCCESS")
+    if (!done.exists()) {
+      graft.ops.Corpora.incrementalSplit(
+          graft.ops.Corpora.normDocs(spark, sfDir))._2
+        .repartition(n).write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   def stageDupDocsDir(spark: SparkSession, sfDir: String, n: Int): String = {
     // v-token: unlike stageDocsDir (a pure copy, source fingerprint alone
     // suffices), this stage DERIVES content — bump the version whenever

@@ -100,6 +100,42 @@ class StreamingSpec extends AnyFunSuite {
     a.unpersist()
   }
 
+  test("streaming incremental dedup == batch snapshot-delta operator, split-invariant") {
+    import graft.ops.{Corpora, Dedup}
+    val standing = Corpora.incrementalSplit(Corpora.normDocs(spark, sfDir))._1
+    val idxMd5 = Dedup.exact(standing).select("md5")
+    val idxBands = Dedup.lshBands(Dedup.minhash(standing, spark))
+    val deltaDir = StreamingExtraction.stageDeltaDocsDir(spark, sfDir, 4)
+    val a = StreamingExtraction.runBoundedIncrementalDedup(spark, deltaDir,
+      idxMd5, idxBands, "sincr_a", maxFilesPerTrigger = 1).cache()
+    val b = StreamingExtraction.runBoundedIncrementalDedup(spark, deltaDir,
+      idxMd5, idxBands, "sincr_b", maxFilesPerTrigger = 4)
+    // micro-batch split must not change the result
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // identical DATA to the batch operator (column names mapped)
+    val batch = Dedup.incrementalDedup(
+        Corpora.incrementalSplit(Corpora.normDocs(spark, sfDir))._2,
+        idxMd5, idxBands, spark)
+      .select(col("md5").as("content_md5"), col("doc_id").as("keep_doc"),
+        col("near_hit"))
+    assert(a.exceptAll(batch).count() == 0 && batch.exceptAll(a).count() == 0)
+    a.unpersist()
+  }
+
+  test("in-row band signatures are row-identical to the batch lshBands form") {
+    import graft.ops.{Corpora, Dedup}
+    // the near-dup corpus includes sub-shingle-length docs (empty array
+    // branch) and planted near-dups — both forms must agree row-for-row
+    val corpus = Corpora.withNearDups(Corpora.normDocs(spark, sfDir))
+    val batch = Dedup.lshBands(Dedup.minhash(corpus, spark))
+    val inRow = corpus
+      .select(col("doc_id"), explode(Dedup.inRowBandSigs(col("text"))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.band_sig").as("band_sig"))
+    assert(batch.exceptAll(inRow).count() == 0 &&
+      inRow.exceptAll(batch).count() == 0)
+  }
+
   test("bounded-state dedup drops in-horizon dups; a past-horizon dup re-emits (the documented trade)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
