@@ -257,24 +257,40 @@ object Dedup {
     * and the batch form spends its two groupBys getting per-doc minima
     * that a row already owns. Docs shorter than ShingleSize tokens get an
     * EMPTY array (no shingles → no bands, exactly like the batch path). */
+  /** Let-binding for Column expressions: evaluate `c` ONCE and reference
+    * the bound value through a lambda variable. Scala `val` reuse of a
+    * Column builds a DAG but Catalyst stores a TREE — every reference
+    * re-substitutes (and re-EVALUATES) the whole subtree, and interpreted
+    * HOFs get no common-subexpression elimination. Measured on
+    * `inRowBandSigs`: the un-bound form referenced the 8-minhash array 16×
+    * and the shingle array 8× inside it → ~19k md5s per doc instead of
+    * ~1.2k (q_stream_incr_dedup: 206 s → ~3 s at sf0.1). */
+  private def bind(c: org.apache.spark.sql.Column)
+                  (f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    element_at(transform(array(c), f), 1)
+
   def inRowBandSigs(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val k = ShingleSize
     val toks = split(text, " ")
     val sh = array_distinct(transform(
       sequence(lit(1), size(toks) - (k - 1)),
       i => concat_ws(" ", slice(toks, i, lit(k)))))
-    val mhs = transform(sequence(lit(0), lit(NumHashes - 1)), s =>
-      array_min(transform(sh, shi =>
-        md5(concat(s.cast("string"), lit("|"), shi).cast("binary")))))
-    def mh(b: org.apache.spark.sql.Column, r: Int) =
-      element_at(mhs, (b * BandRows + r + 1).cast("int"))
     // the when-guard keeps sequence() from ever seeing stop < start (it
     // would generate DESCENDING values, not an empty array)
     when(size(toks) >= k,
-      transform(sequence(lit(0), lit(NumHashes / BandRows - 1)), b =>
-        struct(b.cast("int").as("band"),
-          md5(concat(least(mh(b, 0), mh(b, 1)), lit("|"),
-            greatest(mh(b, 0), mh(b, 1))).cast("binary")).as("band_sig"))))
+      bind(sh) { shv =>
+        bind(transform(sequence(lit(0), lit(NumHashes - 1)), s =>
+          array_min(transform(shv, shi =>
+            md5(concat(s.cast("string"), lit("|"), shi).cast("binary")))))) { m =>
+          def mh(b: org.apache.spark.sql.Column, r: Int) =
+            element_at(m, (b * BandRows + r + 1).cast("int"))
+          transform(sequence(lit(0), lit(NumHashes / BandRows - 1)), b =>
+            struct(b.cast("int").as("band"),
+              md5(concat(least(mh(b, 0), mh(b, 1)), lit("|"),
+                greatest(mh(b, 0), mh(b, 1))).cast("binary")).as("band_sig")))
+        }
+      })
       .otherwise(
         expr("CAST(array() AS array<struct<band:int,band_sig:string>>)"))
   }

@@ -175,14 +175,22 @@ object StreamingExtraction {
                                  name: String,
                                  maxFilesPerTrigger: Int = Int.MaxValue): DataFrame = {
     val schema = spark.read.parquet(deltaDir).schema
+    // a stream-static join re-executes the static PLAN every micro-batch;
+    // if the caller passes a derived index (as the demo does: exact +
+    // minhash over the standing corpus), that derivation would re-run per
+    // trigger. Materialize both static sides ONCE — the production
+    // equivalent is reading the previous snapshot's already-written index
+    // TABLE, so the eager pin is the honest model, not an optimization.
+    val md5Idx = indexMd5.withColumnRenamed("md5", "content_md5")
+      .localCheckpoint(true)
     val bandsIdx = indexBands.select(col("band"), col("band_sig")).distinct()
       .withColumn("hit", lit(1))
+      .localCheckpoint(true)
     val updates = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(deltaDir)
       .select(col("doc_id"), col("text"), md5(col("text")).as("content_md5"))
-      .join(indexMd5.withColumnRenamed("md5", "content_md5"),
-        Seq("content_md5"), "left_anti")
+      .join(md5Idx, Seq("content_md5"), "left_anti")
       .select(col("doc_id"), col("content_md5"),
         explode_outer(graft.ops.Dedup.inRowBandSigs(col("text"))).as("b"))
       .select(col("doc_id"), col("content_md5"),
