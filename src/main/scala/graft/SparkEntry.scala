@@ -731,6 +731,54 @@ object SparkEntry {
         })
         .toDF("doc_id", "text") // withMedia's binary cast is identity here
       ops.Multimodal.decodeMeta(media, s).toDF().orderBy(col("doc_id"))
+    }),
+
+    // -- corpus-level KG stage (fusion, deltas, centrality, embeddings) --
+    "q_kg_fusion" -> ((s, dir) => {
+      // Knowledge-Vault-style truth fusion over the per-document scored
+      // triples: support count, best evidence doc, capped noisy-or
+      // confidence, functional-relation argmax — all map-side-combinable
+      // groupBys (one hot triple = one group row after partial agg)
+      val inj = pipeline.KnowledgeInjection
+        .extractInjectedFused(Pages.fromDocuments(s, dir), s)
+        .select("doc_id", "subj", "pred", "obj", "score_milli")
+      pipeline.KgFusion.fuse(inj).orderBy(col("subj"), col("pred"), col("obj"))
+    }),
+    "q_kg_delta" -> ((s, dir) => {
+      // snapshot-to-snapshot KG diff: old = the even-doc crawl, new = the
+      // full crawl. ONE extraction pass feeds both fuses — the snapshot
+      // filter applies to the cached triple table, not a second kernel run
+      val inj = pipeline.KnowledgeInjection
+        .extractInjectedFused(Pages.fromDocuments(s, dir), s)
+        .select("doc_id", "subj", "pred", "obj", "score_milli").cache()
+      pipeline.KgFusion.snapshotDelta(
+          pipeline.KgFusion.fuse(inj.filter(col("doc_id") % 2 === 0)),
+          pipeline.KgFusion.fuse(inj))
+        .orderBy(col("subj"), col("pred"), col("obj"))
+    }),
+    "q_pagerank" -> ((s, dir) => {
+      // entity centrality over the constructed KG (seed/salt/triage lists):
+      // fixed-iteration integer-fixed-point PageRank, join+groupBy per step
+      val trips = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s)
+      ops.PageRank.run(trips.select(col("subj").as("src"), col("obj").as("dst")))
+        .orderBy(col("v"))
+    }),
+    "q_kg_embed" -> ((s, dir) => {
+      // deterministic TransE-style embedding training over the extracted
+      // KG — sign-gradient synchronous epochs in integer quanta, replayed
+      // step-for-step by the DuckDB oracle
+      val trips = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s)
+      ops.KgEmbedding.train(trips.select(col("subj").as("h"),
+          col("pred").as("r"), col("obj").as("t")), s)
+        .orderBy(col("kind"), col("id"), col("k"))
+    }),
+    "q_kg_nearest" -> ((s, dir) => {
+      // the KG-embedding-neighbor feature KIRE injects (kg_data_loader.py):
+      // top-k nearest entities in trained L1 embedding space
+      val trips = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s)
+      val emb = ops.KgEmbedding.train(trips.select(col("subj").as("h"),
+        col("pred").as("r"), col("obj").as("t")), s)
+      ops.KgEmbedding.nearestEntities(emb, 3).orderBy(col("a"), col("rank"))
     })
   )
 
@@ -2241,8 +2289,177 @@ object SparkEntry {
       SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 50 AS INT) AS frame_off,
              CAST(ascii(substring(text, CAST(i * 50 + 1 AS INT), 1)) AS INT) AS frame_byte
       FROM norm_docs, (SELECT unnest(range(100)) AS i)
-      WHERE i * 50 < strlen(text) ORDER BY doc_id, frame_idx"""
+      WHERE i * 50 < strlen(text) ORDER BY doc_id, frame_idx""",
+
+    "q_kg_fusion" -> s"""
+      WITH $kbCtes,
+      $injectedCtes,
+      $injTripleCte,
+      ${fusedCtes("")}
+      SELECT f2.subj, f2.pred, f2.obj, f2.support, f2.max_milli, f2.first_doc,
+             f2.fused_milli,
+             CAST(CASE WHEN kb.obj IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_best
+      FROM f2 LEFT JOIN (
+        SELECT subj, pred, obj FROM (
+          SELECT subj, pred, obj,
+                 row_number() OVER (PARTITION BY subj, pred
+                   ORDER BY fused_milli DESC, support DESC, obj DESC) AS brk
+          FROM f2) b0 WHERE brk = 1) kb
+        ON f2.subj = kb.subj AND f2.pred = kb.pred AND f2.obj = kb.obj
+      ORDER BY 1, 2, 3""",
+    "q_kg_delta" -> s"""
+      WITH $kbCtes,
+      $injectedCtes,
+      $injTripleCte,
+      ${fusedCtes("o", "WHERE doc_id % 2 = 0")},
+      ${fusedCtes("n")}
+      SELECT COALESCE(of2.subj, nf2.subj) AS subj,
+             COALESCE(of2.pred, nf2.pred) AS pred,
+             COALESCE(of2.obj, nf2.obj) AS obj,
+             COALESCE(of2.support, -1) AS old_support,
+             COALESCE(nf2.support, -1) AS new_support,
+             CASE WHEN of2.support IS NULL THEN 'added'
+                  WHEN nf2.support IS NULL THEN 'removed'
+                  WHEN of2.support <> nf2.support THEN 'support_changed'
+                  ELSE 'stable' END AS status
+      FROM of2 FULL OUTER JOIN nf2
+        ON of2.subj = nf2.subj AND of2.pred = nf2.pred AND of2.obj = nf2.obj
+      ORDER BY 1, 2, 3""",
+    "q_pagerank" -> s"""
+      WITH $kbCtes,
+      edges AS MATERIALIZED (SELECT DISTINCT p.h_qid AS src, p.t_qid AS dst
+                FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type),
+      nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+      outd AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+      base AS MATERIALIZED (SELECT v, ${ops.PageRank.Scale} // (SELECT COUNT(*) FROM nodes) AS base
+               FROM nodes),
+      m0 AS (SELECT v, base AS mass FROM base),
+      ${pagerankIterCtes(ops.PageRank.DefaultIters)}
+      SELECT v, CAST(mass AS BIGINT) AS mass
+      FROM m${ops.PageRank.DefaultIters} ORDER BY v""",
+    "q_kg_embed" -> s"""
+      WITH $kbCtes,
+      ${kgEmbedCtes(ops.KgEmbedding.DefaultEpochs)}
+      SELECT kind, id, k, CAST(val AS BIGINT) AS val
+      FROM emb${ops.KgEmbedding.DefaultEpochs} ORDER BY 1, 2, 3""",
+    "q_kg_nearest" -> s"""
+      WITH $kbCtes,
+      ${kgEmbedCtes(ops.KgEmbedding.DefaultEpochs)},
+      pd AS (SELECT a.id AS a, b.id AS b,
+                    CAST(SUM(ABS(a.val - b.val)) AS BIGINT) AS dist
+             FROM emb${ops.KgEmbedding.DefaultEpochs} a
+             JOIN emb${ops.KgEmbedding.DefaultEpochs} b
+               ON a.kind = 'e' AND b.kind = 'e' AND a.k = b.k AND a.id <> b.id
+             GROUP BY 1, 2)
+      SELECT a, b, dist, "rank" FROM (
+        SELECT a, b, dist,
+               CAST(row_number() OVER (PARTITION BY a ORDER BY dist ASC, b ASC) AS INT) AS "rank"
+        FROM pd) rr
+      WHERE "rank" <= 3 ORDER BY a, "rank""""
   )
+
+  /** Decoded injected triples → the fused-KG input relation `${p}inj`. */
+  private def injTripleCte: String = s"""
+      inj AS (SELECT doc_id, h_qid AS subj, pred, t_qid AS obj,
+                     CAST(score_milli AS BIGINT) AS score_milli
+              FROM decoded WHERE rk <= ${graft.pipeline.RelationScorer.MaxLabels})"""
+
+  /** KgFusion.fuse replayed over `inj` (optionally filtered): emits
+    * `${p}f2(subj, pred, obj, support, max_milli, first_doc, fused_milli)`. */
+  private def fusedCtes(p: String, where: String = ""): String = s"""
+      ${p}f1 AS (SELECT subj, pred, obj, COUNT(DISTINCT doc_id) AS support,
+                        CAST(MAX(score_milli) AS BIGINT) AS max_milli,
+                        CAST(MIN(doc_id) AS BIGINT) AS first_doc
+                 FROM inj $where GROUP BY 1, 2, 3),
+      ${p}f2 AS (SELECT *, max_milli + ${graft.pipeline.KgFusion.WSupportMilli}
+                     * LEAST(support - 1, ${graft.pipeline.KgFusion.SupportCap}) AS fused_milli
+                 FROM ${p}f1)"""
+
+  /** One PageRank step per iteration, replaying PageRank.run's integer
+    * fixed-point recurrence (mass_i from mass_{i-1}) in DuckDB `//`. */
+  private def pagerankIterCtes(iters: Int): String = {
+    val damp = ops.PageRank.DampMilli
+    (1 to iters).map { i =>
+      s"""m$i AS (
+        SELECT b.v,
+               ((1000 - $damp) * b.base) // 1000
+               + ($damp * COALESCE(i$i.inflow, 0)) // 1000 AS mass
+        FROM base b LEFT JOIN (
+          SELECT e.dst AS v, SUM(m.mass // o.deg) AS inflow
+          FROM edges e JOIN outd o ON e.src = o.src
+          JOIN m${i - 1} m ON m.v = e.src
+          GROUP BY 1) i$i ON b.v = i$i.v)"""
+    }.mkString(",\n      ")
+  }
+
+  /** KgEmbedding.train unrolled: kgt/ents/rels/dims/init + `epochs`
+    * synchronous sign-gradient epochs — ends with `emb$epochs`.
+    *
+    * The multiply-referenced CTEs are AS MATERIALIZED: DuckDB otherwise
+    * INLINES each reference, and emb$e references emb${e-1} ~9× (4 diff
+    * joins × viol + dv + base), so inlining is exponential in epochs — at
+    * 2 epochs the expansion re-opened documents.parquet thousands of times
+    * and died on the fd limit. Materialization makes the replay linear,
+    * mirroring the engine's localCheckpoint per epoch. */
+  private def kgEmbedCtes(epochs: Int): String = {
+    import graft.ops.{KgEmbedding => KE}
+    val dimVals = (0 until KE.Dim).map(i => s"($i)").mkString(", ")
+    val init =
+      s"""kgt AS MATERIALIZED (SELECT DISTINCT p.h_qid AS h, r.pred AS r, p.t_qid AS t
+              FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type),
+      ents AS MATERIALIZED (SELECT h AS id FROM kgt UNION SELECT t FROM kgt),
+      rels AS (SELECT DISTINCT r AS id FROM kgt),
+      dims AS (SELECT CAST(v AS INT) AS k FROM (VALUES $dimVals) d(v)),
+      emb0 AS MATERIALIZED (
+        SELECT 'e' AS kind, id, k,
+               CAST(CAST(concat('0x', substr(md5(id || '|' || CAST(k AS VARCHAR)), 1, 3)) AS BIGINT)
+                 % ${2 * KE.InitQ + 1} - ${KE.InitQ} AS BIGINT) AS val
+        FROM ents, dims
+        UNION ALL
+        SELECT 'r', id, k,
+               CAST(CAST(concat('0x', substr(md5(id || '|' || CAST(k AS VARCHAR)), 1, 3)) AS BIGINT)
+                 % ${2 * KE.InitQ + 1} - ${KE.InitQ} AS BIGINT)
+        FROM rels, dims),
+      eidx AS (SELECT id AS e, row_number() OVER (ORDER BY id) - 1 AS idx FROM ents),
+      negt AS (
+        SELECT g.h, g.r, g.t, x.e AS tneg
+        FROM (SELECT h, r, t,
+                     CAST(concat('0x', substr(md5(h || '|' || r || '|' || t), 1, 6)) AS BIGINT)
+                       % (SELECT COUNT(*) FROM ents) AS nidx
+              FROM kgt) g JOIN eidx x ON x.idx = g.nidx),
+      perdim AS MATERIALIZED (SELECT negt.*, k FROM negt, dims)"""
+    val steps = (1 to epochs).map { e =>
+      val prev = s"emb${e - 1}"
+      s"""diff$e AS MATERIALIZED (
+        SELECT p.h, p.r, p.t, p.tneg, p.k,
+               eh.val + er.val - et.val AS pd,
+               eh.val + er.val - en.val AS nd
+        FROM perdim p
+        JOIN $prev eh ON eh.kind = 'e' AND eh.id = p.h AND eh.k = p.k
+        JOIN $prev er ON er.kind = 'r' AND er.id = p.r AND er.k = p.k
+        JOIN $prev et ON et.kind = 'e' AND et.id = p.t AND et.k = p.k
+        JOIN $prev en ON en.kind = 'e' AND en.id = p.tneg AND en.k = p.k),
+      viol$e AS (SELECT h, r, t, tneg FROM diff$e GROUP BY 1, 2, 3, 4
+                 HAVING SUM(ABS(pd)) + ${KE.Margin} > SUM(ABS(nd))),
+      dv$e AS MATERIALIZED (
+        SELECT d.*,
+               CASE WHEN pd > 0 THEN 1 WHEN pd < 0 THEN -1 ELSE 0 END AS sp,
+               CASE WHEN nd > 0 THEN 1 WHEN nd < 0 THEN -1 ELSE 0 END AS sn
+        FROM diff$e d JOIN viol$e v
+          ON d.h = v.h AND d.r = v.r AND d.t = v.t AND d.tneg = v.tneg),
+      upd$e AS (SELECT kind, id, k, SUM(delta) AS delta FROM (
+          SELECT 'e' AS kind, h AS id, k, (sn - sp) * ${KE.Lr} AS delta FROM dv$e
+          UNION ALL SELECT 'r', r, k, (sn - sp) * ${KE.Lr} FROM dv$e
+          UNION ALL SELECT 'e', t, k, sp * ${KE.Lr} FROM dv$e
+          UNION ALL SELECT 'e', tneg, k, -sn * ${KE.Lr} FROM dv$e) u
+        GROUP BY 1, 2, 3),
+      emb$e AS MATERIALIZED (
+        SELECT b.kind, b.id, b.k, CAST(b.val + COALESCE(u.delta, 0) AS BIGINT) AS val
+        FROM $prev b LEFT JOIN upd$e u
+          ON b.kind = u.kind AND b.id = u.id AND b.k = u.k)"""
+    }.mkString(",\n      ")
+    s"$init,\n      $steps"
+  }
 
   // oracle CTE fragments (DuckDB) generated alongside the Spark plans
   private def enMarkerSqlList: String =
