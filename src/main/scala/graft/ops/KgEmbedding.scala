@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic TransE-style KG-embedding training — the "KG-embedding
@@ -21,16 +21,21 @@ import org.apache.spark.sql.functions._
   *  - negatives are corrupted tails picked by content hash against the
   *    dense entity index (DenseIds) — reproducible, no RNG;
   *  - updates within an epoch are SYNCHRONOUS: every violated triple
-  *    contributes sign deltas, deltas are summed per (kind, id, dim) in one
-  *    map-side-combinable groupBy, then applied — partition-order exact,
-  *    unlike hogwild SGD.
+  *    contributes sign deltas, deltas are summed per (kind, id) in one
+  *    map-side-combinable vector aggregation, then applied — partition-
+  *    order exact (integer addition), unlike hogwild SGD.
   *
-  * Scale shape per epoch: the per-dim diff table is |triples|·Dim rows built
-  * from four equi-joins against the embedding table on the uniform (id, k)
-  * key; violations are one groupBy on the triple key; the delta sum is one
-  * groupBy on (kind, id, k). A hub entity appearing in 10^7 triples partial-
-  * aggregates its deltas map-side — no windows, no driver loops; epochs are
-  * localCheckpoint'd to cut lineage growth.
+  * Scale shape per epoch — FOUR shuffles total, none carrying a per-dim
+  * row blow-up: embeddings travel as (kind, id, vals: array[Dim]) rows;
+  * the triple's four embedding reads are one MELTED equi-join (4 rows per
+  * triple against the embedding table on the uniform (kind, id) key — one
+  * shuffle instead of four chained joins), pivoted back by a bounded
+  * 4-row groupBy on the triple key; margin check, sign gradients, and the
+  * four per-role delta vectors are pure in-row array arithmetic; delta
+  * summation is one groupBy over [[graft.functions.VectorSum]] (fixed
+  * Dim-long buffer, so a hub entity touched by 10^7 triples partial-
+  * aggregates map-side); the update join applies deltas with `zip_with`.
+  * Epochs are localCheckpoint'd to cut lineage growth.
   */
 object KgEmbedding {
 
@@ -49,14 +54,23 @@ object KgEmbedding {
   /** Default epoch count — fixed so the oracle unrolls the same steps. */
   val DefaultEpochs = 2
 
-  private def hex3(c: org.apache.spark.sql.Column) =
+  private def hex3(c: Column) =
     conv(substring(md5(c.cast("binary")), 1, 3), 16, 10).cast("long")
 
-  private def hex6(c: org.apache.spark.sql.Column) =
+  private def hex6(c: Column) =
     conv(substring(md5(c.cast("binary")), 1, 6), 16, 10).cast("long")
 
-  private def sgn(c: org.apache.spark.sql.Column) =
+  private def sgn(c: Column) =
     when(c > 0, 1L).when(c < 0, -1L).otherwise(0L)
+
+  private def l1(c: Column): Column =
+    aggregate(c, lit(0L), (acc, x) => acc + abs(x))
+
+  /** Init vector for one id: vals(k) = hex3(md5(id|k)) % (2·InitQ+1) − InitQ
+    * — element-identical to [[initEmbeddings]]'s per-(id, k) rows. */
+  private def initVec(idCol: Column): Column =
+    transform(sequence(lit(0), lit(Dim - 1)),
+      k => hex3(concat_ws("|", idCol, k)) % lit(2 * InitQ + 1) - InitQ)
 
   /** Per-dim exploded frame: (id) × k in [0, Dim). */
   private def withDims(df: DataFrame): DataFrame =
@@ -89,45 +103,62 @@ object KgEmbedding {
       .withColumn("nidx", hex6(concat_ws("|", col("h"), col("r"), col("t"))) % col("n"))
       .join(eidx.select(col("idx").as("nidx"), col("e").as("tneg")), Seq("nidx"))
       .select(col("h"), col("r"), col("t"), col("tneg"))
-    val perDim = withDims(negt).cache()
+    // melt: the 4 embedding reads of one triple as 4 rows (role 0..3) —
+    // built ONCE and reused every epoch (only emb varies across epochs)
+    val roles = negt.select(col("h"), col("r"), col("t"), col("tneg"),
+        explode(array(
+          struct(lit("e").as("kind"), col("h").as("id"), lit(0).as("role")),
+          struct(lit("r").as("kind"), col("r").as("id"), lit(1).as("role")),
+          struct(lit("e").as("kind"), col("t").as("id"), lit(2).as("role")),
+          struct(lit("e").as("kind"), col("tneg").as("id"), lit(3).as("role")))).as("s"))
+      .select(col("h"), col("r"), col("t"), col("tneg"),
+        col("s.kind").as("kind"), col("s.id").as("id"), col("s.role").as("role"))
+      .cache()
+    val vecSum = udaf(new graft.functions.VectorSum(Dim))
 
-    var emb = initEmbeddings(ents, rels).localCheckpoint()
+    var emb = ents.select(lit("e").as("kind"), col("id"))
+      .unionAll(rels.select(lit("r").as("kind"), col("id")))
+      .withColumn("vals", initVec(col("id")))
+      .localCheckpoint()
     try {
       for (_ <- 1 to epochs) {
-        def side(kind: String, idCol: String, valName: String) =
-          emb.filter(col("kind") === kind)
-            .select(col("id").as(idCol), col("k"), col("val").as(valName))
-        val diff = perDim
-          .join(side("e", "h", "vh"), Seq("h", "k"))
-          .join(side("r", "r", "vr"), Seq("r", "k"))
-          .join(side("e", "t", "vt"), Seq("t", "k"))
-          .join(side("e", "tneg", "vn"), Seq("tneg", "k"))
-          .select(col("h"), col("r"), col("t"), col("tneg"), col("k"),
-            (col("vh") + col("vr") - col("vt")).as("pd"),
-            (col("vh") + col("vr") - col("vn")).as("nd"))
-        val viol = diff.groupBy(col("h"), col("r"), col("t"), col("tneg"))
-          .agg(sum(abs(col("pd"))).as("dpos"), sum(abs(col("nd"))).as("dneg"))
-          .filter(col("dpos") + Margin > col("dneg"))
-          .select("h", "r", "t", "tneg")
-        val dv = diff.join(viol, Seq("h", "r", "t", "tneg"))
-          .withColumn("sp", sgn(col("pd"))).withColumn("sn", sgn(col("nd")))
-        val upd = dv.select(lit("e").as("kind"), col("h").as("id"), col("k"),
-            ((col("sn") - col("sp")) * Lr).as("delta"))
-          .unionAll(dv.select(lit("r").as("kind"), col("r").as("id"), col("k"),
-            ((col("sn") - col("sp")) * Lr).as("delta")))
-          .unionAll(dv.select(lit("e").as("kind"), col("t").as("id"), col("k"),
-            (col("sp") * Lr).as("delta")))
-          .unionAll(dv.select(lit("e").as("kind"), col("tneg").as("id"), col("k"),
-            (-col("sn") * Lr).as("delta")))
-          .groupBy(col("kind"), col("id"), col("k")).agg(sum(col("delta")).as("delta"))
-        emb = emb.join(upd, Seq("kind", "id", "k"), "left")
-          .select(col("kind"), col("id"), col("k"),
-            (col("val") + coalesce(col("delta"), lit(0L))).as("val"))
+        // pivot the melted join back to one row per triple: each role has
+        // exactly one row, so max(when(role = i)) is the deterministic pick
+        // and every group is bounded at 4 rows
+        val pivot = roles.join(emb, Seq("kind", "id"))
+          .groupBy(col("h"), col("r"), col("t"), col("tneg"))
+          .agg(
+            max(when(col("role") === 0, col("vals"))).as("vh"),
+            max(when(col("role") === 1, col("vals"))).as("vr"),
+            max(when(col("role") === 2, col("vals"))).as("vt"),
+            max(when(col("role") === 3, col("vals"))).as("vn"))
+        // margin-ranking violation + sign gradients, all in-row
+        val viol = pivot
+          .withColumn("pd", zip_with(zip_with(col("vh"), col("vr"), _ + _), col("vt"), _ - _))
+          .withColumn("nd", zip_with(zip_with(col("vh"), col("vr"), _ + _), col("vn"), _ - _))
+          .filter(l1(col("pd")) + Margin > l1(col("nd")))
+          .withColumn("sp", transform(col("pd"), sgn(_)))
+          .withColumn("sn", transform(col("nd"), sgn(_)))
+        val upd = viol.select(explode(array(
+            struct(lit("e").as("kind"), col("h").as("id"),
+              zip_with(col("sn"), col("sp"), (n, p) => (n - p) * Lr).as("d")),
+            struct(lit("r").as("kind"), col("r").as("id"),
+              zip_with(col("sn"), col("sp"), (n, p) => (n - p) * Lr).as("d")),
+            struct(lit("e").as("kind"), col("t").as("id"),
+              transform(col("sp"), x => x * Lr).as("d")),
+            struct(lit("e").as("kind"), col("tneg").as("id"),
+              transform(col("sn"), x => -x * Lr).as("d")))).as("u"))
+          .select(col("u.kind").as("kind"), col("u.id").as("id"), col("u.d").as("d"))
+          .groupBy(col("kind"), col("id")).agg(vecSum(col("d")).as("delta"))
+        emb = emb.join(upd, Seq("kind", "id"), "left")
+          .select(col("kind"), col("id"),
+            when(col("delta").isNull, col("vals"))
+              .otherwise(zip_with(col("vals"), col("delta"), _ + _)).as("vals"))
           .localCheckpoint()
       }
-      emb
+      emb.select(col("kind"), col("id"), posexplode(col("vals")).as(Seq("k", "val")))
     } finally {
-      perDim.unpersist()
+      roles.unpersist()
       DenseIds.releasePersisted()
     }
   }
@@ -147,19 +178,26 @@ object KgEmbedding {
   }
 
   /** Top-k nearest entities per entity in trained L1 embedding space —
-    * the "KG-embedding neighbors" feature KIRE injects. Brute-force pair
-    * distance (documented O(n²·Dim) — the KB entity vocabulary is
-    * dictionary-scale; corpus-scale vectors go through Similarity's
-    * LSH/IVF paths). */
+    * the "KG-embedding neighbors" feature KIRE injects.
+    *
+    * Shape: regroup the long-form table to per-entity vectors (groups
+    * bounded at Dim rows), then a broadcast nested-loop against the
+    * entity vocabulary with the FULL L1 distance computed in-row — no
+    * n²·Dim shuffle. The broadcast side is the KB entity vocabulary
+    * (dictionary-scale, the same broadcastability argument as the alias
+    * dict); corpus-scale vectors go through Similarity's LSH/IVF paths.
+    * The rank window partitions per entity — bounded by the vocabulary,
+    * never by corpus size. */
   def nearestEntities(emb: DataFrame, topK: Int): DataFrame = {
-    val e = emb.filter(col("kind") === "e")
-    val a = e.select(col("id").as("a"), col("k"), col("val").as("va"))
-    val b = e.select(col("id").as("b"), col("k"), col("val").as("vb"))
-    val d = a.join(b, Seq("k")).filter(col("a") =!= col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(sum(abs(col("va") - col("vb"))).as("dist"))
-    // rank per a: the per-a partition is bounded by the KB entity
-    // vocabulary (dictionary-scale), never by corpus size
+    val vecs = emb.filter(col("kind") === "e")
+      .groupBy(col("id"))
+      .agg(transform(sort_array(collect_list(struct(col("k"), col("val")))),
+        s => s.getField("val")).as("vals"))
+    val d = vecs.select(col("id").as("a"), col("vals").as("va"))
+      .join(broadcast(vecs.select(col("id").as("b"), col("vals").as("vb"))),
+        col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        l1(zip_with(col("va"), col("vb"), (x, y) => x - y)).as("dist"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("a")).orderBy(col("dist").asc, col("b").asc)
     d.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
