@@ -103,7 +103,20 @@ object Scaling {
     *    (`ops.TrainingData.survivors`: lang → quality → repetition →
     *    decontam → exact dedup; bench slice = doc_id %% 97) — the
     *    LLM-training-data policy end-to-end; reported "triples" are
-    *    surviving documents. */
+    *    surviving documents;
+    *  - "kg": the corpus-level KG-fusion stage over a MATERIALIZED
+    *    per-document injected-triple table (built once from the replicated
+    *    corpus by the injected kernel) — `KgFusion.fuse`'s
+    *    countDistinct(doc_id) forces a real shuffle of every input row
+    *    (each replica is a distinct supporting doc), then the capped
+    *    confidence + argmax join; "docs" are input triple rows, "triples"
+    *    fused KG rows;
+    *  - "pagerank": `ops.PageRank.run` (5 fixed-point iterations) over a
+    *    materialized synthetic Zipfian-in-degree graph
+    *    (SPARK_GRAFT_EDGES, default 20M edges / 2M vertices — hub
+    *    vertices hold ~7%% of in-edges, the "human"/country case) —
+    *    iterative join+groupBy scaling evidence; "docs" are edges,
+    *    "triples" ranked vertices. */
   // lazy val: the job/dict selection is read and validated exactly ONCE per
   // process — a mid-run env mutation can never mix kernels (or dictionaries)
   // within one sweep's output labels
@@ -112,8 +125,8 @@ object Scaling {
     // a typo must fail loudly, not silently bench the rule kernel under
     // the typo'd label
     require(Set("rule", "injected", "enrich", "enrich_unsalted", "dedup",
-      "pipeline").contains(j),
-      s"SPARK_GRAFT_JOB must be rule|injected|enrich|enrich_unsalted|dedup|pipeline, got: $j")
+      "pipeline", "kg", "pagerank").contains(j),
+      s"SPARK_GRAFT_JOB must be rule|injected|enrich|enrich_unsalted|dedup|pipeline|kg|pagerank, got: $j")
     j
   }
 
@@ -215,12 +228,84 @@ object Scaling {
     (nMentions, out.getLong(0), secs)
   }
 
+  /** Materialize the per-document injected-triple table once (built by the
+    * injected kernel over the replicated corpus — the extraction cost is
+    * the "injected" job's measurement, not this one's; the KG stage of a
+    * production build reads the triple table its extraction stage wrote). */
+  def materializedTriples(spark: SparkSession, sfDir: String): String = {
+    val layoutV = "v1_96f"
+    val path = s"/tmp/graft_scaling_triples_${layoutV}_r${Replicas}_${sfDir.replaceAll("[^a-z0-9.]", "_")}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      val corpus = materializedCorpus(spark, sfDir)
+      val pages = spark.read.parquet(corpus)
+        .withColumn("text", graft.functions.ExtractHtmlText(col("html")))
+      graft.pipeline.KnowledgeInjection.extractInjectedFused(pages, spark)
+        .select("doc_id", "subj", "pred", "obj", "score_milli")
+        .repartition(96).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  // pagerank-job graph: Zipfian in-degree via the same inverse-CDF 1/rank
+  // law as the enrich qids — hub vertices (countries, "human") collect the
+  // head of the in-edge mass; sources are uniform.
+  lazy val PagerankEdges: Long =
+    sys.env.getOrElse("SPARK_GRAFT_EDGES", "20000000").toLong
+  lazy val PagerankVertices: Long = math.max(PagerankEdges / 10L, 1000L)
+
+  /** Materialize the synthetic graph once (layout-tokened). */
+  def materializedGraph(spark: SparkSession): String = {
+    val layoutV = "v1_96f"
+    val path = s"/tmp/graft_scaling_graph_${layoutV}_e$PagerankEdges"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      val nV = PagerankVertices
+      val zipfDst = least(
+        floor(pow(lit(nV.toDouble),
+          (col("id") * 2654435761L % 1000003L) / 1000003.0)) - 1,
+        lit(nV - 1)).cast("long")
+      spark.range(PagerankEdges)
+        .select(concat(lit("V"), col("id") * 6364136223846793005L % nV).as("src"),
+          concat(lit("V"), zipfDst).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .repartition(96).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** One timed KG-fusion pass: triple table scan → fuse → checksum agg
+    * (forces support/confidence/argmax columns to materialize). */
+  private def runKgOnce(spark: SparkSession, sfDir: String): (Long, Long, Double) = {
+    val path = materializedTriples(spark, sfDir)
+    val nTriples = spark.read.parquet(path).count()
+    val t0 = System.nanoTime()
+    val fused = graft.pipeline.KgFusion.fuse(spark.read.parquet(path))
+    val out = fused.agg(count(lit(1)).as("n"),
+      sum(col("support") + col("fused_milli") + col("is_best")).as("chk")).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    (nTriples, out.getLong(0), secs)
+  }
+
+  /** One timed PageRank pass over the materialized graph: 5 fixed-point
+    * iterations + a mass checksum (rank correctness rides on the oracle;
+    * here the sum pins that every iteration actually ran). */
+  private def runPagerankOnce(spark: SparkSession): (Long, Long, Double) = {
+    val path = materializedGraph(spark)
+    val nEdges = spark.read.parquet(path).count()
+    val t0 = System.nanoTime()
+    val ranked = graft.ops.PageRank.run(spark.read.parquet(path))
+    val out = ranked.agg(count(lit(1)).as("n"), sum(col("mass")).as("chk")).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    (nEdges, out.getLong(0), secs)
+  }
+
   /** One timed end-to-end extraction over the selected production path.
     * Dictionary load/resolve happens OUTSIDE the timed section — it is
     * per-job setup (the reference loads its pickled dict once too), and
     * the measurement target is per-document throughput. */
   def runOnce(spark: SparkSession, sfDir: String): (Long, Long, Double) = {
     if (Job.startsWith("enrich")) return runEnrichOnce(spark)
+    if (Job == "kg") return runKgOnce(spark, sfDir)
+    if (Job == "pagerank") return runPagerankOnce(spark)
     val corpus = materializedCorpus(spark, sfDir)
     val nDocs = spark.read.parquet(corpus).count()
     val dict = if (Job == "rule") ruleDict(spark) else null

@@ -779,6 +779,36 @@ object SparkEntry {
       val emb = ops.KgEmbedding.train(trips.select(col("subj").as("h"),
         col("pred").as("r"), col("obj").as("t")), s)
       ops.KgEmbedding.nearestEntities(emb, 3).orderBy(col("a"), col("rank"))
+    }),
+    "q_kg_khop" -> ((s, dir) => {
+      // min-hop neighborhood expansion from the graph's root entities
+      // (sources that are never targets) — the subgraph-fetch consumers run
+      // against the fused KG, generalizing the reference's one-hop context
+      val trips = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s)
+      val edges = trips.select(col("subj").as("src"), col("obj").as("dst"))
+      val seeds = edges.select(col("src").as("v"))
+        .except(edges.select(col("dst").as("v")))
+      ops.KgGraph.kHop(edges, seeds).orderBy(col("v"))
+    }),
+    "q_kg_closure" -> ((s, dir) => {
+      // ontology closure of the 'part of' (P361) sub-relation via path
+      // doubling — O(log depth) self-joins, fixpoint-checked
+      val trips = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s)
+      ops.KgGraph.transitiveClosure(
+          trips.filter(col("pred") === ops.KgGraph.HierarchyPred)
+            .select(col("subj").as("src"), col("obj").as("dst")))
+        .orderBy(col("src"), col("dst"))
+    }),
+    "q_kg_sameas" -> ((s, dir) => {
+      // cross-document entity canonicalization: KB sameAs cliques (P460)
+      // collapse to their min qid and the extracted KG is remapped —
+      // the corpus-level half of the north_star union-find canonicalize
+      val trips = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s)
+        .select("subj", "pred", "obj").distinct()
+      val sameAs = pipeline.Enrich.kgTriples(s).filter(col("r") === ops.KgGraph.SameAsPred)
+        .select(col("h").as("a"), col("t").as("b"))
+      ops.KgGraph.sameAsMerge(trips, sameAs)
+        .orderBy(col("subj"), col("pred"), col("obj"))
     })
   )
 
@@ -2355,8 +2385,65 @@ object SparkEntry {
         SELECT a, b, dist,
                CAST(row_number() OVER (PARTITION BY a ORDER BY dist ASC, b ASC) AS INT) AS "rank"
         FROM pd) rr
-      WHERE "rank" <= 3 ORDER BY a, "rank""""
+      WHERE "rank" <= 3 ORDER BY a, "rank"""",
+    "q_kg_khop" -> s"""
+      WITH $kbCtes,
+      ${khopCtes(ops.KgGraph.DefaultHops)}
+      ORDER BY v""",
+    "q_kg_closure" -> s"""
+      WITH RECURSIVE $kbCtes,
+      pedges AS MATERIALIZED (
+        SELECT DISTINCT p.h_qid AS src, p.t_qid AS dst
+        FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type
+        WHERE r.pred = '${ops.KgGraph.HierarchyPred}'),
+      reach(src, dst) AS (
+        SELECT src, dst FROM pedges
+        UNION
+        SELECT r2.src, e.dst FROM reach r2 JOIN pedges e ON r2.dst = e.src)
+      SELECT src, dst FROM reach ORDER BY 1, 2""",
+    "q_kg_sameas" -> s"""
+      WITH RECURSIVE $kbCtes,
+      kgq(h, r, t) AS (SELECT * FROM (VALUES ${Gazetteer.kgTripleValues}) v(h, r, t)),
+      sbi AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+        SELECT h AS a, t AS b FROM kgq WHERE r = '${ops.KgGraph.SameAsPred}'
+        UNION SELECT t, h FROM kgq WHERE r = '${ops.KgGraph.SameAsPred}') u),
+      sreach(src, dst) AS (
+        SELECT DISTINCT a, a FROM sbi
+        UNION
+        SELECT r2.src, e.b FROM sreach r2 JOIN sbi e ON r2.dst = e.a),
+      canon AS (SELECT src AS v, MIN(dst) AS c FROM sreach GROUP BY 1),
+      trip AS (SELECT DISTINCT p.h_qid AS subj, r.pred, p.t_qid AS obj
+               FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type)
+      SELECT DISTINCT COALESCE(ch.c, t.subj) AS subj, t.pred,
+                      COALESCE(co.c, t.obj) AS obj
+      FROM trip t LEFT JOIN canon ch ON t.subj = ch.v
+                  LEFT JOIN canon co ON t.obj = co.v
+      WHERE COALESCE(ch.c, t.subj) <> COALESCE(co.c, t.obj)
+      ORDER BY 1, 2, 3"""
   )
+
+  /** KgGraph.kHop unrolled: hop tables h0..hK (h0 = root seeds — sources
+    * never appearing as targets), each hop joining the previous frontier
+    * against edges and anti-filtering everything already visited; ends
+    * with the SELECT over the union (caller appends ORDER BY). */
+  private def khopCtes(k: Int): String = {
+    val init = s"""kedges AS MATERIALIZED (
+        SELECT DISTINCT p.h_qid AS src, p.t_qid AS dst
+        FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type),
+      h0 AS (SELECT v, 0 AS hop FROM
+        (SELECT src AS v FROM kedges EXCEPT SELECT dst FROM kedges) s0)"""
+    val steps = (1 to k).map { h =>
+      val visited = (0 until h).map(i => s"SELECT v FROM h$i").mkString(" UNION ")
+      s"""h$h AS MATERIALIZED (
+        SELECT DISTINCT e.dst AS v, $h AS hop
+        FROM kedges e JOIN h${h - 1} f ON e.src = f.v
+        WHERE e.dst NOT IN ($visited))"""
+    }.mkString(",\n      ")
+    val all = (0 to k).map(i => s"SELECT * FROM h$i").mkString(" UNION ALL ")
+    s"""$init,
+      $steps
+      SELECT v, CAST(hop AS INT) AS hop FROM ($all) hh"""
+  }
 
   /** Decoded injected triples → the fused-KG input relation `${p}inj`. */
   private def injTripleCte: String = s"""

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph queries over the constructed KG — the consumer-side operators a
+  * corpus-scale triple store serves (neighborhood expansion, ontology
+  * closure, sameAs canonicalization). The reference touches the KB only as
+  * per-document one-hop context (`gen_kg_data.py` subgraph fetch); a
+  * 10^12-document build also queries the FUSED graph it produced.
+  *
+  * All three operators share the repo's determinism contract: results are
+  * pure functions of the edge set (set semantics, min-reductions, fixed or
+  * fixpoint iteration counts), so the DuckDB oracles replay them exactly.
+  */
+object KgGraph {
+
+  /** Default hop budget for [[kHop]] (mirrored in the oracle unroll). */
+  val DefaultHops = 3
+
+  /** The hierarchy relation the closure query runs on — 'part of'
+    * (`kb.Gazetteer.relRules` MISC→MISC; a real DocRED/Wikidata pid). */
+  val HierarchyPred = "P361"
+
+  /** The KB merge-evidence relation — 'said to be the same as'
+    * (`kb.Gazetteer.kgTriples` P460 edges). */
+  val SameAsPred = "P460"
+
+  /** Fixpoint guard for [[transitiveClosure]]: path DOUBLING squares the
+    * reachable path length per round, so 16 rounds cover diameter 2^16 —
+    * a graph that has not converged by then is not a hierarchy and the
+    * caller must be told, not handed a silent underapproximation. */
+  val MaxDoublings = 16
+
+  /** Min-hop BFS from `seeds` (column `v`) over directed `edges`
+    * (columns `src`, `dst`): returns (v, hop) with hop = the FIRST hop at
+    * which v is reached (seeds at hop 0), up to `maxHops`.
+    *
+    * Scale shape per hop: one equi-join of the frontier against edges on
+    * the uniform src key + one distinct + one left-anti against the
+    * visited set — all key-partitioned, no windows; the frontier is
+    * localCheckpoint'd so lineage stays flat. A hub vertex fans out
+    * map-side; the visited anti-join keeps the frontier monotone shrinking
+    * on re-reached vertices. */
+  def kHop(edges0: DataFrame, seeds: DataFrame, maxHops: Int = DefaultHops): DataFrame = {
+    require(maxHops >= 0, s"KgGraph.kHop: maxHops must be >= 0, got $maxHops")
+    val edges = edges0.select(col("src"), col("dst")).distinct().cache()
+    try {
+      var visited = seeds.select(col("v")).distinct()
+        .withColumn("hop", lit(0)).localCheckpoint()
+      var frontier = visited.select(col("v"))
+      for (h <- 1 to maxHops) {
+        val next = edges.join(frontier.withColumnRenamed("v", "src"), Seq("src"))
+          .select(col("dst").as("v")).distinct()
+          .join(visited.select(col("v")), Seq("v"), "left_anti")
+          .withColumn("hop", lit(h))
+        visited = visited.unionAll(next).localCheckpoint()
+        frontier = next.select(col("v"))
+      }
+      visited
+    } finally edges.unpersist()
+  }
+
+  /** Transitive closure of a directed edge set via PATH DOUBLING: each
+    * round unions reach ∘ reach, squaring the covered path length, so a
+    * depth-d hierarchy closes in O(log d) self-joins instead of d frontier
+    * steps. Raises if `MaxDoublings` rounds do not reach the fixpoint.
+    *
+    * Intended for HIERARCHICAL relations (subclass-of / part-of ladders)
+    * whose closure is |V|·depth-bounded; on a dense cyclic graph the
+    * closure is O(|component|²) by definition — the caller chooses the
+    * relation, the guard reports non-convergence. Cycles are legal: a
+    * vertex on a cycle reaches itself and the pair (v, v) is emitted,
+    * matching the relational closure semantics the oracle replays. */
+  def transitiveClosure(edges0: DataFrame): DataFrame = {
+    var reach = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var n = reach.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < MaxDoublings) {
+      val composed = reach.select(col("src"), col("dst").as("mid"))
+        .join(reach.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .select(col("src"), col("dst"))
+      val next = reach.unionAll(composed).distinct().localCheckpoint()
+      val m = next.count()
+      converged = m == n // monotone union: equal cardinality == no new pairs
+      reach = next; n = m; rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"transitiveClosure: no fixpoint after $MaxDoublings doublings " +
+          "(path length 2^16) — the relation is not hierarchy-shaped")
+    reach
+  }
+
+  /** owl:sameAs-style cross-document entity canonicalization — the
+    * corpus-level half of the north_star's union-find canonicalize (the
+    * per-document half is `pipeline.Canonicalize`): entities connected by
+    * `sameAs` (columns `a`, `b`, undirected) collapse to one canonical id
+    * = the MIN qid of the component (deterministic total order), and the
+    * triple table is remapped through that mapping, merge-created
+    * self-loops dropped, duplicates collapsed.
+    *
+    * Components come from the pointer-jumping
+    * [[ConnectedComponents.labelPropagation]] (O(log diameter) rounds,
+    * convergence-checked); the remap is two left equi-joins on the uniform
+    * qid key — entities outside any sameAs clique pass through via
+    * coalesce, so the mapping table stays |sameAs|-sized, never
+    * |entities|-sized. */
+  def sameAsMerge(triples: DataFrame, sameAs: DataFrame): DataFrame = {
+    val verts = sameAs.select(col("a").as("v")).union(sameAs.select(col("b").as("v")))
+      .distinct().select(lit("g").as("scope"), col("v"))
+    val edges = sameAs.select(lit("g").as("scope"), col("a").as("src"), col("b").as("dst"))
+    val canon = ConnectedComponents.labelPropagation(verts, edges)
+      .select(col("v"), col("comp"))
+    triples
+      .join(canon.select(col("v").as("subj"), col("comp").as("c_subj")), Seq("subj"), "left")
+      .join(canon.select(col("v").as("obj"), col("comp").as("c_obj")), Seq("obj"), "left")
+      .select(coalesce(col("c_subj"), col("subj")).as("subj"), col("pred"),
+        coalesce(col("c_obj"), col("obj")).as("obj"))
+      .filter(col("subj") =!= col("obj"))
+      .distinct()
+  }
+}

@@ -177,4 +177,62 @@ class KgGraphSpec extends AnyFunSuite {
     assert(sym == 0)
     nn.unpersist(); emb.unpersist()
   }
+
+  // -------------------------------------------------------------- KgGraph
+
+  // chain A→B→C→D plus a side edge A→C and an unreachable island X→Y
+  private def bfsEdges = Seq(
+    ("A", "B"), ("B", "C"), ("C", "D"), ("A", "C"), ("X", "Y")
+  ).toDF("src", "dst")
+
+  test("kHop: min-hop wins when multiple paths reach a vertex") {
+    val seeds = Seq("A").toDF("v")
+    val got = ops.KgGraph.kHop(bfsEdges, seeds, 3).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // C is at hop 1 via the side edge, NOT hop 2 via B; D therefore hop 2
+    assert(got == Map("A" -> 0, "B" -> 1, "C" -> 1, "D" -> 2))
+  }
+
+  test("kHop: hop budget truncates; unreached vertices are absent") {
+    val seeds = Seq("A").toDF("v")
+    val got = ops.KgGraph.kHop(bfsEdges, seeds, 1).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("A" -> 0, "B" -> 1, "C" -> 1)) // D beyond budget; X,Y disconnected
+  }
+
+  test("transitiveClosure: chain closes; cycle emits self-pairs; fixpoint exact") {
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val closed = ops.KgGraph.transitiveClosure(chain).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(closed == Set(("a", "b"), ("b", "c"), ("c", "d"),
+      ("a", "c"), ("b", "d"), ("a", "d")))
+    val cycle = Seq(("p", "q"), ("q", "p")).toDF("src", "dst")
+    val cClosed = ops.KgGraph.transitiveClosure(cycle).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cClosed == Set(("p", "q"), ("q", "p"), ("p", "p"), ("q", "q")))
+  }
+
+  test("sameAsMerge: cliques collapse to min qid, self-loops drop, triples dedup") {
+    val trips = Seq(
+      ("Q5", "P1", "Q9"),  // subj in clique {Q2,Q5}, obj in clique {Q7,Q9}
+      ("Q2", "P1", "Q7"),  // same triple after canonicalization → dedups
+      ("Q5", "P2", "Q2"),  // becomes a self-loop (both in {Q2,Q5}) → dropped
+      ("Q8", "P3", "Q5")   // subj outside any clique passes through
+    ).toDF("subj", "pred", "obj")
+    val sameAs = Seq(("Q5", "Q2"), ("Q7", "Q9")).toDF("a", "b")
+    val got = ops.KgGraph.sameAsMerge(trips, sameAs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("Q2", "P1", "Q7"), ("Q8", "P3", "Q2")))
+  }
+
+  test("kgGraph ops are partition-invariant") {
+    def canon(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.orderBy(cols.map(col): _*).collect().toSeq
+    val seeds = Seq("A").toDF("v")
+    assert(canon(ops.KgGraph.kHop(bfsEdges, seeds, 3), "v") ==
+      canon(ops.KgGraph.kHop(bfsEdges.repartition(7), seeds, 3), "v"))
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    assert(canon(ops.KgGraph.transitiveClosure(chain), "src", "dst") ==
+      canon(ops.KgGraph.transitiveClosure(chain.repartition(5)), "src", "dst"))
+  }
 }
