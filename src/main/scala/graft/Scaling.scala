@@ -264,7 +264,9 @@ object Scaling {
           (col("id") * 2654435761L % 1000003L) / 1000003.0)) - 1,
         lit(nV - 1)).cast("long")
       spark.range(PagerankEdges)
-        .select(concat(lit("V"), col("id") * 6364136223846793005L % nV).as("src"),
+        // Knuth multiplier keeps id·m below Long.Max at any edge count the
+        // sandbox can hold (ANSI mode makes a silent wrap a hard error)
+        .select(concat(lit("V"), col("id") * 2654435761L % nV).as("src"),
           concat(lit("V"), zipfDst).as("dst"))
         .filter(col("src") =!= col("dst"))
         .repartition(96).write.mode("overwrite").parquet(path)

@@ -209,6 +209,15 @@ object SparkEntry {
         .runBoundedDedup(s, docsDir, "q_stream_dedup_sink", maxFilesPerTrigger = 1)
         .orderBy(col("content_md5"))
     }),
+    "q_stream_fusion" -> ((s, dir) => {
+      // streaming KG fusion: running (support, first_doc) per triple in
+      // Update mode — the terminal state equals the batch fuse over the
+      // same corpus (split-invariant count/min aggregates)
+      val docsDir = streaming.StreamingExtraction.stageDocsDir(s, dir, 4)
+      streaming.StreamingExtraction
+        .runBoundedFusion(s, docsDir, "q_stream_fusion_sink", maxFilesPerTrigger = 2)
+        .orderBy(col("subj"), col("pred"), col("obj"))
+    }),
     "q_stream_kb" -> ((s, dir) => {
       // stateful first-seen KB upsert (flatMapGroupsWithState): union of the
       // per-micro-batch KG deltas == the batch-distinct KB triple set
@@ -1167,6 +1176,20 @@ object SparkEntry {
       $dupCorpusCte
       SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc
       FROM dup_corpus GROUP BY 1 ORDER BY 1""",
+    "q_stream_fusion" -> s"""
+      WITH $kbCtes,
+      trip AS (SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
+               FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type),
+      sf AS (SELECT subj, pred, obj,
+                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS support,
+                    CAST(MIN(doc_id) AS BIGINT) AS first_doc
+             FROM trip GROUP BY 1, 2, 3)
+      SELECT subj, pred, obj, support, first_doc,
+             CAST(1000 AS BIGINT) AS max_milli,
+             CAST(1000 + ${graft.pipeline.KgFusion.WSupportMilli}
+               * LEAST(support - 1, ${graft.pipeline.KgFusion.SupportCap}) AS BIGINT)
+               AS fused_milli
+      FROM sf ORDER BY 1, 2, 3""",
 
     "q_kg_onehop" -> s"""
       WITH $kbCtes,

@@ -42,40 +42,63 @@ object PageRank {
   val DefaultIters = 5
 
   /** edges: directed (src, dst), multiplicity ignored (distinct-ed).
-    * Returns (v, mass) for every vertex appearing as src or dst. */
+    * Returns (v, mass) for every vertex appearing as src or dst.
+    *
+    * Iteration shape — the edge relation is IMMUTABLE across iterations,
+    * so everything derivable from it is hoisted out of the loop: the
+    * (edges ⋈ out-degree) contribution table is built once and cached
+    * HASH-PARTITIONED ON src, and the (v, base) table cached partitioned
+    * on v. Per iteration only the rank vector moves: its join against the
+    * cached contribution table reuses the cache's partitioning (no
+    * re-shuffle, no re-sort of the edge set), the dst-keyed inflow sum is
+    * the one genuine per-iteration shuffle (map-side combinable — a
+    * Zipfian hub's in-mass partial-aggregates), and the final update join
+    * lands on withBase's cached layout. The 2→8-core sweep that motivated
+    * this hoist measured 0.62 efficiency with the in-loop joins vs 0.8+
+    * for the map-side-combinable family. */
   def run(edges0: DataFrame, iters: Int = DefaultIters): DataFrame = {
     require(iters >= 1, s"PageRank.run: iters must be >= 1, got $iters")
-    val edges = edges0.select(col("src"), col("dst")).distinct().cache()
+    val edges = edges0.select(col("src"), col("dst")).distinct()
+    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // loop-invariant contribution table, partitioned on the join key
+    val contrib = edges.join(outd, "src")
+      .repartition(col("src")).cache()
     val nodes = edges.select(col("src").as("v"))
-      .union(edges.select(col("dst").as("v"))).distinct().cache()
-    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+      .union(edges.select(col("dst").as("v"))).distinct()
     // n as a broadcast 1-row frame: keeps the op action-free (no .count()
     // on the driver) — base mass = Scale div n rides along as a column
     val nDf = nodes.agg(count(lit(1)).as("n"))
     val withBase = nodes.crossJoin(broadcast(nDf))
       .withColumn("base", expr(s"${Scale}L div n"))
-      .select(col("v"), col("base")).cache()
+      .select(col("v"), col("base"))
+      .repartition(col("v")).cache()
     try {
       var mass = withBase.withColumn("mass", col("base"))
-      for (_ <- 1 to iters) {
-        val flow = edges
-          .join(outd, "src")
+      for (i <- 1 to iters) {
+        val inflow = contrib
           .join(mass.select(col("v").as("src"), col("mass").as("src_mass")), "src")
           .select(col("dst"), expr("src_mass div deg").as("contrib"))
-        val inflow = flow.groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
         mass = withBase
           .join(inflow.withColumnRenamed("dst", "v"), Seq("v"), "left")
           .select(col("v"), col("base"),
             (expr(s"((1000 - $DampMilli) * base) div 1000") +
              expr(s"($DampMilli * coalesce(inflow, 0L)) div 1000")).as("mass"))
-          .localCheckpoint()
+        // truncate lineage only every few rounds: the plan grows LINEARLY
+        // (small column exprs, no self-composition), and an every-iteration
+        // localCheckpoint is an eager materialization BARRIER between
+        // iterations — batching iterations into one pipelined job keeps
+        // the cores busy across the round boundary (sweep in BENCH)
+        if (i % CheckpointEvery == 0) mass = mass.localCheckpoint()
       }
-      mass.select(col("v"), col("mass"))
+      // eager terminal materialization: the result stops referencing the
+      // caches, which the finally can then release on every exit path
+      mass.select(col("v"), col("mass")).localCheckpoint()
     } finally {
-      // the returned frame is checkpoint-rooted (localCheckpoint is eager
-      // and iters >= 1), so the loop-invariant inputs are safe to release
-      // on every exit path
-      edges.unpersist(); nodes.unpersist(); outd.unpersist(); withBase.unpersist()
+      contrib.unpersist(); withBase.unpersist()
     }
   }
+
+  /** Lineage-truncation cadence for the iteration loop. */
+  val CheckpointEvery = 4
 }

@@ -122,6 +122,46 @@ object StreamingExtraction {
     spark.table(name).groupBy("content_md5").agg(min(col("keep_doc")).as("keep_doc"))
   }
 
+  /** STREAMING KG FUSION — the corpus-KG snapshot aggregate
+    * ([[graft.pipeline.KgFusion.fuse]]) as a RUNNING streaming aggregation:
+    * per (subj, pred, obj) the support count and first evidence doc update
+    * as crawl files arrive, so the fused KG is continuously current
+    * instead of rebuilt per snapshot.
+    *
+    * One stateful aggregation (same shape as [[runBoundedDedup]]):
+    * groupBy(triple).agg(count, min(doc_id)) in Update mode. Support
+    * counts doc witnesses under the crawl-feed contract that each document
+    * arrives EXACTLY ONCE and its kernel emission is per-doc-distinct —
+    * count then equals countDistinct(doc_id), which streaming cannot
+    * express directly. A feed with re-deliveries needs the keyed-state
+    * dedup in front (the `netNewTriples` pattern on (triple, doc)), at one
+    * boolean state entry per (triple, doc) — the documented trade.
+    *
+    * Split-invariance: count and min are order-insensitive, so the
+    * terminal row per triple equals the batch fuse whatever the
+    * file-to-micro-batch assignment (pinned in StreamingSpec). The rule
+    * kernel carries no per-doc score, so max_milli is the kernel's
+    * 1000-milli constant and fused confidence is the support-capped bonus
+    * on top — exactly `KgBuild.buildSnapshot(inject = false)`'s fusion
+    * input normalization. */
+  def runBoundedFusion(spark: SparkSession, docsDir: String, name: String,
+                       maxFilesPerTrigger: Int = Int.MaxValue): DataFrame = {
+    import graft.pipeline.KgFusion
+    val updates = triples(pagesStream(spark, docsDir, maxFilesPerTrigger), spark)
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(count(lit(1)).as("support"), min(col("doc_id")).as("first_doc"))
+    val q = updates.writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    // per-batch update rows are monotone (support grows, first_doc shrinks):
+    // the terminal state per triple is max(support), min(first_doc)
+    spark.table(name).groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(max(col("support")).as("support"), min(col("first_doc")).as("first_doc"))
+      .withColumn("max_milli", lit(1000L))
+      .withColumn("fused_milli", col("max_milli") +
+        lit(KgFusion.WSupportMilli) * least(col("support") - 1, lit(KgFusion.SupportCap)))
+  }
+
   /** BOUNDED-STATE streaming dedup — the `dropDuplicatesWithinWatermark`
     * twin the exact running-min dedup's scale note promises. Dedup key =
     * content hash, event time = `warc_ts`: the state entry for a hash is

@@ -100,6 +100,25 @@ class StreamingSpec extends AnyFunSuite {
     a.unpersist()
   }
 
+  test("streaming KG fusion == batch fuse, split-invariant") {
+    import graft.pipeline.KgFusion
+    val docsDir = StreamingExtraction.stageDocsDir(spark, sfDir, 4)
+    val a = StreamingExtraction
+      .runBoundedFusion(spark, docsDir, "sfuse_a", maxFilesPerTrigger = 1).cache()
+    val b = StreamingExtraction
+      .runBoundedFusion(spark, docsDir, "sfuse_b", maxFilesPerTrigger = 4)
+    // count/min terminal states are split-invariant
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // and equal the batch fuse over the same rule-kernel triples (score
+    // normalized to the 1000-milli constant, KgBuild's inject=false form)
+    val batch = KgFusion.fuse(
+        Stages.extractTriplesKernel(Pages.fromDocuments(spark, sfDir), spark)
+          .withColumn("score_milli", org.apache.spark.sql.functions.lit(1000L)))
+      .select("subj", "pred", "obj", "support", "first_doc", "max_milli", "fused_milli")
+    assert(a.exceptAll(batch).count() == 0 && batch.exceptAll(a).count() == 0)
+    a.unpersist()
+  }
+
   test("streaming incremental dedup == batch snapshot-delta operator, split-invariant") {
     import graft.ops.{Corpora, Dedup}
     val standing = Corpora.incrementalSplit(Corpora.normDocs(spark, sfDir))._1
