@@ -808,6 +808,14 @@ object SparkEntry {
             .select(col("subj").as("src"), col("obj").as("dst")))
         .orderBy(col("src"), col("dst"))
     }),
+    "q_kg_degree" -> ((s, dir) => {
+      // hub/skew census of the constructed KG: per-entity degrees, log2
+      // histogram bucket, and the hot flag that seeds the salted joins
+      val trips = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s)
+      ops.KgGraph.degreeProfile(
+          trips.select(col("subj").as("src"), col("obj").as("dst")))
+        .orderBy(col("v"))
+    }),
     "q_kg_sameas" -> ((s, dir) => {
       // cross-document entity canonicalization: KB sameAs cliques (P460)
       // collapse to their min qid and the extracted KG is remapped —
@@ -2424,6 +2432,29 @@ object SparkEntry {
         UNION
         SELECT r2.src, e.dst FROM reach r2 JOIN pedges e ON r2.dst = e.src)
       SELECT src, dst FROM reach ORDER BY 1, 2""",
+    "q_kg_degree" -> {
+      // the log2 ladder is generated from the SAME MaxDegBucket constant
+      // as KgGraph.log2Bucket — descending WHENs ≡ the Spark foldLeft
+      val ladder = "CASE " +
+        (ops.KgGraph.MaxDegBucket to 1 by -1)
+          .map(k => s"WHEN deg >= ${1L << k} THEN $k").mkString(" ") +
+        " ELSE 0 END"
+      s"""
+      WITH $kbCtes,
+      kedges AS (SELECT DISTINCT p.h_qid AS src, p.t_qid AS dst
+                 FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type),
+      od AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS out_deg FROM kedges GROUP BY 1),
+      idg AS (SELECT dst AS v, CAST(COUNT(*) AS BIGINT) AS in_deg FROM kedges GROUP BY 1),
+      dp AS (SELECT COALESCE(od.v, idg.v) AS v,
+                    CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+                    CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg
+             FROM od FULL OUTER JOIN idg ON od.v = idg.v),
+      dp2 AS (SELECT *, out_deg + in_deg AS deg FROM dp)
+      SELECT v, out_deg, in_deg, deg, CAST($ladder AS INT) AS bucket,
+             CAST(CASE WHEN deg >= ${ops.KgGraph.HotDegreeThreshold}
+                  THEN 1 ELSE 0 END AS INT) AS is_hot
+      FROM dp2 ORDER BY v"""
+    },
     "q_kg_sameas" -> s"""
       WITH RECURSIVE $kbCtes,
       kgq(h, r, t) AS (SELECT * FROM (VALUES ${Gazetteer.kgTripleValues}) v(h, r, t)),

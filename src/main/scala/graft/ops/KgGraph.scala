@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph queries over the constructed KG — the consumer-side operators a
@@ -91,6 +91,42 @@ object KgGraph {
         s"transitiveClosure: no fixpoint after $MaxDoublings doublings " +
           "(path length 2^16) — the relation is not hierarchy-shaped")
     reach
+  }
+
+  /** Degree buckets are powers of two up to 2^MaxDegBucket — the same
+    * log2-ladder family as the dis2idx buckets (M1), generated as an
+    * explicit integer CASE ladder so NO floating log enters the contract
+    * (libm rounding differs across engines; a threshold ladder cannot). */
+  val MaxDegBucket = 40
+
+  /** Degree at or above which an entity goes on the hot list — the seed
+    * set for `ops.Skew.saltedJoin`'s salting and for review triage. */
+  val HotDegreeThreshold = 16L
+
+  /** Integer log2 bucket: 0 for deg 1, k for 2^k ≤ deg < 2^(k+1). */
+  private def log2Bucket(deg: Column): Column =
+    (1 to MaxDegBucket).foldLeft(lit(0)) { (acc, k) =>
+      when(deg >= (1L << k), lit(k)).otherwise(acc)
+    }
+
+  /** Per-entity degree profile of the KG — the hub/skew census a corpus
+    * build runs right after fusing: out/in/total degree, the log2 degree
+    * bucket (histogram-ready), and the hot flag that seeds the salted
+    * joins ("human", countries — the entities that would single-task a
+    * shuffle). Two map-side-combinable groupBys + one full-outer SMJ on
+    * the uniform vertex key; the hub itself is ONE row after partial
+    * aggregation, which is the point. */
+  def degreeProfile(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst")).distinct()
+    val out = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("v")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .withColumn("deg", col("out_deg") + col("in_deg"))
+      .withColumn("bucket", log2Bucket(col("deg")))
+      .withColumn("is_hot", (col("deg") >= HotDegreeThreshold).cast("int"))
   }
 
   /** owl:sameAs-style cross-document entity canonicalization — the

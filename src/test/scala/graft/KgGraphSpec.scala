@@ -225,6 +225,26 @@ class KgGraphSpec extends AnyFunSuite {
     assert(got == Set(("Q2", "P1", "Q7"), ("Q8", "P3", "Q2")))
   }
 
+  test("degreeProfile: out/in split, log2 buckets, hot flag at threshold") {
+    // hub H: 20 out-edges (hot, bucket 5: 32 > 20+0... 20 → bucket 4);
+    // leaves: in_deg 1 (bucket 0)
+    val edges = (1 to 20).map(i => ("H", s"L$i")).toDF("src", "dst")
+    val prof = ops.KgGraph.degreeProfile(edges).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val h = prof("H")
+    assert(h.getAs[Long]("out_deg") == 20L && h.getAs[Long]("in_deg") == 0L)
+    assert(h.getAs[Long]("deg") == 20L)
+    assert(h.getAs[Int]("bucket") == 4) // 2^4 = 16 <= 20 < 32
+    assert(h.getAs[Int]("is_hot") == 1) // 20 >= HotDegreeThreshold (16)
+    val l1 = prof("L1")
+    assert(l1.getAs[Long]("out_deg") == 0L && l1.getAs[Long]("in_deg") == 1L)
+    assert(l1.getAs[Int]("bucket") == 0 && l1.getAs[Int]("is_hot") == 0)
+    // duplicate edges must not inflate degrees
+    val dup = ops.KgGraph.degreeProfile(edges.unionAll(edges)).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("deg")).toMap
+    assert(dup("H") == 20L)
+  }
+
   test("kgGraph ops are partition-invariant") {
     def canon(df: org.apache.spark.sql.DataFrame, cols: String*) =
       df.orderBy(cols.map(col): _*).collect().toSeq
