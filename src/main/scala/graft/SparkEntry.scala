@@ -808,6 +808,14 @@ object SparkEntry {
             .select(col("subj").as("src"), col("obj").as("dst")))
         .orderBy(col("src"), col("dst"))
     }),
+    "q_kg_evidence" -> ((s, dir) => {
+      // bounded per-triple provenance: the EvidenceCap smallest supporting
+      // doc ids per distinct triple (deterministic function of the support
+      // SET; a viral triple costs a cap-sized buffer, never a collect_list)
+      val trips = Stages.extractTriplesFused(Pages.fromDocuments(s, dir), s)
+      pipeline.KgFusion.evidence(trips.select("doc_id", "subj", "pred", "obj"))
+        .orderBy(col("subj"), col("pred"), col("obj"))
+    }),
     "q_kg_degree" -> ((s, dir) => {
       // hub/skew census of the constructed KG: per-entity degrees, log2
       // histogram bucket, and the hot flag that seeds the salted joins
@@ -2432,6 +2440,15 @@ object SparkEntry {
         UNION
         SELECT r2.src, e.dst FROM reach r2 JOIN pedges e ON r2.dst = e.src)
       SELECT src, dst FROM reach ORDER BY 1, 2""",
+    "q_kg_evidence" -> s"""
+      WITH $kbCtes,
+      trip AS (SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
+               FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type)
+      SELECT subj, pred, obj,
+             array_to_string(
+               list_sort(list(DISTINCT doc_id))[1:${graft.pipeline.KgFusion.EvidenceCap}],
+               ',') AS evidence_docs
+      FROM trip GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q_kg_degree" -> {
       // the log2 ladder is generated from the SAME MaxDegBucket constant
       // as KgGraph.log2Bucket — descending WHENs ≡ the Spark foldLeft

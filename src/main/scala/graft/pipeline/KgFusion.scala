@@ -73,6 +73,36 @@ object KgFusion {
         "fused_milli", "is_best")
   }
 
+  /** Max provenance pointers carried per fused triple. */
+  val EvidenceCap = 5
+
+  /** Bounded per-triple provenance — the evidence list a KG consumer
+    * dereferences ("which pages assert this?"): the `EvidenceCap` SMALLEST
+    * supporting doc_ids per distinct (subj, pred, obj), ascending.
+    *
+    * Smallest-K (not first-K) keeps the list a deterministic function of
+    * the support SET — partition- and arrival-order-invariant, consistent
+    * with `fuse`'s min(doc_id) first_doc anchor (which is always
+    * element 0 here). The aggregation is [[graft.functions.BoundedMinSet]]
+    * over zero-padded doc ids (fixed-width decimal ⇒ lexicographic ≡
+    * numeric order), so a boilerplate triple asserted by 10^8 pages costs
+    * a cap-sized buffer with O(1) rejections map-side — never a
+    * collect_list of the whole witness set. */
+  def evidence(scored: DataFrame): DataFrame = {
+    val bounded = udaf(new graft.functions.BoundedMinSet(EvidenceCap))
+    scored
+      .select(col("subj"), col("pred"), col("obj"),
+        format_string("%019d", col("doc_id")).as("d"))
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(bounded(col("d")).as("ds"))
+      .select(col("subj"), col("pred"), col("obj"),
+        // comma-joined string form: the cross-engine-comparable encoding
+        // (array columns don't hash in the driver's compare), never empty
+        // since every triple has >= 1 witness
+        array_join(transform(col("ds"), s => s.cast("long").cast("string")), ",")
+          .as("evidence_docs"))
+  }
+
   /** Snapshot-to-snapshot KG delta — the incremental-build primitive (the
     * triple-side analog of `Dedup.incrementalDedup`): instead of
     * re-publishing the whole fused KG per crawl, diff the new fused table

@@ -225,6 +225,21 @@ class KgGraphSpec extends AnyFunSuite {
     assert(got == Set(("Q2", "P1", "Q7"), ("Q8", "P3", "Q2")))
   }
 
+  test("evidence: smallest-K supporting docs, set-deterministic, capped") {
+    val scored = Seq(3L, 1L, 9L, 7L, 5L, 11L, 1L) // dup doc: still one witness
+      .map(d => (d, "Q1", "P1", "Q2"))
+      .toDF("doc_id", "subj", "pred", "obj")
+    val ev = KgFusion.evidence(scored).collect().head.getString(3)
+    assert(ev == "1,3,5,7,9") // cap 5, ascending, 11 dropped, dup collapsed
+    // partition invariance (arrival order must not matter)
+    val ev2 = KgFusion.evidence(scored.repartition(6)).collect().head.getString(3)
+    assert(ev2 == ev)
+    // element 0 is fuse's first_doc anchor
+    val fd = KgFusion.fuse(scored.withColumn("score_milli", lit(100L)))
+      .collect().head.getAs[Long]("first_doc")
+    assert(ev.split(",").head.toLong == fd)
+  }
+
   test("degreeProfile: out/in split, log2 buckets, hot flag at threshold") {
     // hub H: 20 out-edges (hot, bucket 5: 32 > 20+0... 20 → bucket 4);
     // leaves: in_deg 1 (bucket 0)
