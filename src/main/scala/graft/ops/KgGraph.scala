@@ -117,7 +117,10 @@ object KgGraph {
     * the uniform vertex key; the hub itself is ONE row after partial
     * aggregation, which is the point. */
   def degreeProfile(edges0: DataFrame): DataFrame = {
-    val edges = edges0.select(col("src"), col("dst")).distinct()
+    // eager checkpoint: the out- and in-degree aggregations are SEPARATE
+    // plans over the edge set — sever the upstream lineage so the producer
+    // runs once, not once per side of the full-outer join
+    val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
     val out = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("out_deg"))
     val in = edges.groupBy(col("dst").as("v")).agg(count(lit(1)).as("in_deg"))
     out.join(in, Seq("v"), "full_outer")

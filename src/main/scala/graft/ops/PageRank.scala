@@ -58,7 +58,10 @@ object PageRank {
     * for the map-side-combinable family. */
   def run(edges0: DataFrame, iters: Int = DefaultIters): DataFrame = {
     require(iters >= 1, s"PageRank.run: iters must be >= 1, got $iters")
-    val edges = edges0.select(col("src"), col("dst")).distinct()
+    // eager checkpoint: contrib, nodes, and withBase each derive from the
+    // edge set through separate plans — sever the upstream lineage so the
+    // producing query (an extraction at sf bench scale) runs exactly once
+    val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // loop-invariant contribution table, partitioned on the join key
     val contrib = edges.join(outd, "src")
