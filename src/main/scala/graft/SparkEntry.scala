@@ -826,6 +826,27 @@ object SparkEntry {
             .select(col("subj").as("src"), col("obj").as("dst")))
         .orderBy(col("src"), col("dst"))
     }),
+    "q_kg_pipeline" -> ((s, dir) => {
+      // the COMPOSED KG build: extract → sameAs-canonicalize the PER-DOC
+      // rows → fuse. Canonicalize-then-fuse is the production order: alias
+      // assertions merge into ONE support count instead of split triples
+      val trips = Stages.extractTriplesKernel(Pages.fromDocuments(s, dir), s)
+        .localCheckpoint()
+      val sameAs = pipeline.Enrich.kgTriples(s)
+        .filter(col("r") === ops.KgGraph.SameAsPred)
+        .select(col("h").as("a"), col("t").as("b"))
+      val canon = ops.KgGraph.sameAsCanon(sameAs)
+      val remapped = trips
+        .join(canon.select(col("v").as("subj"), col("comp").as("cs")), Seq("subj"), "left")
+        .join(canon.select(col("v").as("obj"), col("comp").as("co")), Seq("obj"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cs"), col("subj")).as("subj"), col("pred"),
+          coalesce(col("co"), col("obj")).as("obj"))
+        .filter(col("subj") =!= col("obj"))
+        .withColumn("score_milli", lit(1000L))
+      pipeline.KgFusion.fuse(remapped)
+        .orderBy(col("subj"), col("pred"), col("obj"))
+    }),
     "q_kg_evidence" -> ((s, dir) => {
       // bounded per-triple provenance: the EvidenceCap smallest supporting
       // doc ids per distinct triple (deterministic function of the support
@@ -2467,6 +2488,44 @@ object SparkEntry {
         UNION
         SELECT r2.src, e.dst FROM reach r2 JOIN pedges e ON r2.dst = e.src)
       SELECT src, dst FROM reach ORDER BY 1, 2""",
+    "q_kg_pipeline" -> s"""
+      WITH RECURSIVE $kbCtes,
+      kgq(h, r, t) AS (SELECT * FROM (VALUES ${Gazetteer.kgTripleValues}) v(h, r, t)),
+      sbi AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+        SELECT h AS a, t AS b FROM kgq WHERE r = '${ops.KgGraph.SameAsPred}'
+        UNION SELECT t, h FROM kgq WHERE r = '${ops.KgGraph.SameAsPred}') u),
+      sreach(src, dst) AS (
+        SELECT DISTINCT a, a FROM sbi
+        UNION
+        SELECT r2.src, e.b FROM sreach r2 JOIN sbi e ON r2.dst = e.a),
+      canon AS (SELECT src AS v, MIN(dst) AS c FROM sreach GROUP BY 1),
+      trip AS (SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj
+               FROM prs p JOIN rules r ON p.h_type = r.h_type AND p.t_type = r.t_type),
+      rm AS (SELECT t.doc_id, COALESCE(ch.c, t.subj) AS subj, t.pred,
+                    COALESCE(co.c, t.obj) AS obj
+             FROM trip t LEFT JOIN canon ch ON t.subj = ch.v
+                         LEFT JOIN canon co ON t.obj = co.v
+             WHERE COALESCE(ch.c, t.subj) <> COALESCE(co.c, t.obj)),
+      pf1 AS (SELECT subj, pred, obj,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS support,
+                     CAST(1000 AS BIGINT) AS max_milli,
+                     CAST(MIN(doc_id) AS BIGINT) AS first_doc
+              FROM rm GROUP BY 1, 2, 3),
+      pf2 AS (SELECT *, CAST(max_milli + ${graft.pipeline.KgFusion.WSupportMilli}
+                  * LEAST(support - 1, ${graft.pipeline.KgFusion.SupportCap}) AS BIGINT)
+                  AS fused_milli
+              FROM pf1)
+      SELECT pf2.subj, pf2.pred, pf2.obj, pf2.support, pf2.max_milli,
+             pf2.first_doc, pf2.fused_milli,
+             CAST(CASE WHEN kb.obj IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_best
+      FROM pf2 LEFT JOIN (
+        SELECT subj, pred, obj FROM (
+          SELECT subj, pred, obj,
+                 row_number() OVER (PARTITION BY subj, pred
+                   ORDER BY fused_milli DESC, support DESC, obj DESC) AS brk
+          FROM pf2) b0 WHERE brk = 1) kb
+        ON pf2.subj = kb.subj AND pf2.pred = kb.pred AND pf2.obj = kb.obj
+      ORDER BY 1, 2, 3""",
     "q_kg_evidence" -> s"""
       WITH $kbCtes,
       trip AS (SELECT DISTINCT p.doc_id, p.h_qid AS subj, r.pred, p.t_qid AS obj

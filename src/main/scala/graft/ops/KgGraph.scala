@@ -146,12 +146,22 @@ object KgGraph {
     * qid key — entities outside any sameAs clique pass through via
     * coalesce, so the mapping table stays |sameAs|-sized, never
     * |entities|-sized. */
-  def sameAsMerge(triples: DataFrame, sameAs: DataFrame): DataFrame = {
+  /** The canonical mapping behind [[sameAsMerge]]: (v, comp) for every
+    * entity in a sameAs clique, comp = the component's min qid. Exposed so
+    * composed pipelines (the snapshot build, q_kg_pipeline) can remap
+    * per-document rows BEFORE fusing — canonicalize-then-fuse merges the
+    * evidence of aliases into one support count, which is the production
+    * order. */
+  def sameAsCanon(sameAs: DataFrame): DataFrame = {
     val verts = sameAs.select(col("a").as("v")).union(sameAs.select(col("b").as("v")))
       .distinct().select(lit("g").as("scope"), col("v"))
     val edges = sameAs.select(lit("g").as("scope"), col("a").as("src"), col("b").as("dst"))
-    val canon = ConnectedComponents.labelPropagation(verts, edges)
+    ConnectedComponents.labelPropagation(verts, edges)
       .select(col("v"), col("comp"))
+  }
+
+  def sameAsMerge(triples: DataFrame, sameAs: DataFrame): DataFrame = {
+    val canon = sameAsCanon(sameAs)
     triples
       .join(canon.select(col("v").as("subj"), col("comp").as("c_subj")), Seq("subj"), "left")
       .join(canon.select(col("v").as("obj"), col("comp").as("c_obj")), Seq("obj"), "left")

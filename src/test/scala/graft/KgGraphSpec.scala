@@ -225,6 +225,25 @@ class KgGraphSpec extends AnyFunSuite {
     assert(got == Set(("Q2", "P1", "Q7"), ("Q8", "P3", "Q2")))
   }
 
+  test("canonicalize-then-fuse merges alias evidence into one support count") {
+    // two docs assert the same fact about sameAs-aliases Q2 ~ Q5:
+    // after remap BOTH witness (Q2, P1, Q7) → support 2, fused bonus +100
+    val perDoc = Seq(
+      (10L, "Q5", "P1", "Q7", 500L),
+      (20L, "Q2", "P1", "Q7", 400L)
+    ).toDF("doc_id", "subj", "pred", "obj", "score_milli")
+    val canon = ops.KgGraph.sameAsCanon(Seq(("Q5", "Q2")).toDF("a", "b"))
+    val remapped = perDoc
+      .join(canon.select(col("v").as("subj"), col("comp").as("cs")), Seq("subj"), "left")
+      .select(col("doc_id"), coalesce(col("cs"), col("subj")).as("subj"),
+        col("pred"), col("obj"), col("score_milli"))
+    val fused = KgFusion.fuse(remapped).collect()
+    assert(fused.length == 1)
+    assert(fused.head.getAs[String]("subj") == "Q2") // min qid canonical
+    assert(fused.head.getAs[Long]("support") == 2L)  // merged evidence
+    assert(fused.head.getAs[Long]("fused_milli") == 600L) // 500 + 100·1
+  }
+
   test("evidence: smallest-K supporting docs, set-deterministic, capped") {
     val scored = Seq(3L, 1L, 9L, 7L, 5L, 11L, 1L) // dup doc: still one witness
       .map(d => (d, "Q1", "P1", "Q2"))
