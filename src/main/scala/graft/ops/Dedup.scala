@@ -180,6 +180,104 @@ object Dedup {
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     bit_count(a.bitwiseXOR(b))
 
+  case class BandSig(band: Int, band_sig: String)
+  case class DocSketch(doc_id: Long, bands: Seq[BandSig], shs: Seq[String])
+
+  /** ONE-PASS per-document sketch kernel: the full LSH band-signature array
+    * AND the (sorted, `maxVerify`-capped) verify shingle set of every doc
+    * in a single mapPartitions scan — the inputs `nearDupClusters` needs,
+    * with ZERO shuffles.
+    *
+    * Row-identical (spec-pinned in OpsSpec) to the staged batch form
+    *   bands  ≡ lshBands(minhashFromShingles(shingles(docs)))  (exploded)
+    *   shs    ≡ slice(array_sort(collect_list(shingle)), 1, maxVerify)
+    * which costs THREE shuffles (shingle distinct, minhash agg, band agg)
+    * plus a fourth collect_list agg for the verify arrays, and interprets
+    * NumHashes md5 expressions per shingle row through Catalyst. Here the
+    * per-doc shingle set never leaves the row: distinct shingles, all
+    * NumHashes minhashes (digest-byte min — hex-lexicographic ≡ unsigned
+    * byte order), and the per-band (min,max) signature hash are a tight
+    * Scala loop. A doc shorter than ShingleSize tokens emits empty arrays
+    * (no shingles → no bands, exactly like the batch path, where such docs
+    * simply have no rows). */
+  def docSketches(docs: DataFrame, spark: SparkSession,
+                  maxVerify: Int = MaxVerifyShingles): DataFrame = {
+    import spark.implicits._
+    val k = ShingleSize
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexChars = "0123456789abcdef".toCharArray
+        def hex(d: Array[Byte]): String = {
+          val out = new Array[Char](d.length * 2)
+          var i = 0
+          while (i < d.length) {
+            out(2 * i) = hexChars((d(i) >> 4) & 0xF)
+            out(2 * i + 1) = hexChars(d(i) & 0xF)
+            i += 1
+          }
+          new String(out)
+        }
+        def ltUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+          var i = 0
+          while (i < a.length) {
+            val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+            if (d != 0) return d < 0
+            i += 1
+          }
+          false
+        }
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val set = new java.util.LinkedHashSet[String]()
+          if (toks.length >= k) {
+            var i = 0
+            val sb = new java.lang.StringBuilder()
+            while (i + k <= toks.length) {
+              sb.setLength(0)
+              var j = 0
+              while (j < k) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j)); j += 1
+              }
+              set.add(sb.toString); i += 1
+            }
+          }
+          if (set.isEmpty) DocSketch(id, Seq.empty, Seq.empty)
+          else {
+            val mins = new Array[Array[Byte]](NumHashes)
+            val itr = set.iterator()
+            while (itr.hasNext) {
+              val sh = itr.next()
+              var s = 0
+              while (s < NumHashes) {
+                md.reset()
+                val d = md.digest((s.toString + "|" + sh)
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                if (mins(s) == null || ltUnsigned(d, mins(s))) mins(s) = d
+                s += 1
+              }
+            }
+            val bands = (0 until NumHashes / BandRows).map { b =>
+              val h1 = hex(mins(b * BandRows))
+              val h2 = hex(mins(b * BandRows + 1))
+              val (lo, hi) = if (h1 <= h2) (h1, h2) else (h2, h1)
+              md.reset()
+              BandSig(b, hex(md.digest((lo + "|" + hi)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+            }
+            val verify = set.toArray(new Array[String](set.size()))
+            java.util.Arrays.sort(verify,
+              new java.util.Comparator[String] {
+                def compare(a: String, b: String): Int =
+                  graft.ops.ConnectedComponents.utf8Ordering.compare(a, b)
+              })
+            DocSketch(id, bands, verify.take(maxVerify).toSeq)
+          }
+        }
+      }.toDF("doc_id", "bands", "shs")
+  }
+
   /** End-to-end near-duplicate CLUSTERING — the production web-corpus dedup
     * pipeline (candidates → verify → cluster → keep-canonical), composed
     * from the operators above:
@@ -201,19 +299,25 @@ object Dedup {
     * Returns one row per input doc: (doc_id, cluster, keep). */
   def nearDupClusters(docs: DataFrame, minPermille: Int,
                       spark: SparkSession): DataFrame = {
-    // the shingle frame feeds BOTH the minhash path and the verification
-    // arrays — cache it so the explode+distinct runs once
-    val sh = shingles(docs).cache()
-    val cands = lshCandidates(lshBands(minhashFromShingles(sh, spark)))
-    // verification arrays are BOUNDED: a pathologically long document
+    // ONE kernel pass owns both sketch surfaces: band signatures for the
+    // candidate join AND the bounded verify shingle arrays ride in the same
+    // per-doc row (docSketches scaladoc) — the previous staged form spent
+    // three shuffles plus a collect_list aggregation deriving them from an
+    // exploded 10⁵–10⁶-row shingle frame, and cached THAT frame instead of
+    // these one-row-per-doc sketches.
+    //
+    // Verification arrays are BOUNDED: a pathologically long document
     // contributes at most MaxVerifyShingles (sorted-prefix, deterministic)
     // to its in-row shingle set, so no candidate-join row grows without
     // limit. Above the cap the verify Jaccard is computed over the prefix
     // sets (documented approximation — web documents sit far below it; the
     // oracle applies the identical prefix rule).
-    val shSets = sh.groupBy("doc_id")
-      .agg(slice(array_sort(collect_list(col("shingle"))), 1, MaxVerifyShingles)
-        .as("shs"))
+    val sk = docSketches(docs, spark).cache()
+    val cands = lshCandidates(
+      sk.select(col("doc_id"), explode(col("bands")).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"),
+          col("b.band_sig").as("band_sig")))
+    val shSets = sk.select(col("doc_id"), col("shs"))
     val verified = cands
       .join(shSets.select(col("doc_id").as("doc_a"), col("shs").as("sha")), "doc_a")
       .join(shSets.select(col("doc_id").as("doc_b"), col("shs").as("shb")), "doc_b")
@@ -228,18 +332,21 @@ object Dedup {
       .select(lit("g").as("scope"), col("v"))
     val edges = verified.select(lit("g").as("scope"),
       col("doc_a").as("src"), col("doc_b").as("dst"))
-    // pointer-jumping propagation: 64 rounds cover diameters to ~2⁶⁴ —
-    // effectively any chain — and non-convergence raises rather than
-    // silently splitting a cluster
+    // size-adaptive components: the verified pair graph is usually far
+    // below the one-task ceiling (near-dup clusters are sparse by
+    // construction), where the exact union-find skips the iterative path's
+    // per-round join/checkpoint/count barriers entirely; above the ceiling
+    // the pointer-jumping propagation runs unchanged (64 rounds cover
+    // diameters to ~2⁶⁴, non-convergence raises)
     val comp =
-      try ConnectedComponents.labelPropagation(verts, edges, maxIter = 64)
+      try ConnectedComponents.adaptive(verts, edges, maxIter = 64)
         .select(col("v").as("doc_id"), col("comp").as("cluster"))
       finally {
-        // labelPropagation ran eagerly (checkpoint-rooted labels), so the
-        // intermediate caches are done — release them (also on the
-        // non-convergence throw) instead of pinning the corpus shingle
-        // frame for the session lifetime
-        sh.unpersist(); verified.unpersist()
+        // both branches of adaptive run eagerly enough (size probe /
+        // checkpoint-rooted labels) that the intermediate caches are done —
+        // release them (also on the non-convergence throw) instead of
+        // pinning the sketch frame for the session lifetime
+        sk.unpersist(); verified.unpersist()
       }
     docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")

@@ -156,7 +156,11 @@ object KgGraph {
     val verts = sameAs.select(col("a").as("v")).union(sameAs.select(col("b").as("v")))
       .distinct().select(lit("g").as("scope"), col("v"))
     val edges = sameAs.select(lit("g").as("scope"), col("a").as("src"), col("b").as("dst"))
-    ConnectedComponents.labelPropagation(verts, edges)
+    // size-adaptive: sameAs cliques are KB-scale (dictionary-sized), so the
+    // exact one-task union-find usually applies — identical min-qid labels,
+    // none of the per-iteration join/checkpoint barriers; oversized graphs
+    // fall back to the pointer-jumping propagation unchanged
+    ConnectedComponents.adaptive(verts, edges)
       .select(col("v"), col("comp"))
   }
 

@@ -31,6 +31,31 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.count() >= (nInjected * 9) / 10, s"recall too low: ${pairs.count()}/$nInjected")
   }
 
+  test("docSketches kernel ≡ staged lshBands(minhash(shingles)) + verify arrays") {
+    import spark.implicits._
+    val corpus = Corpora.withNearDups(docs).cache()
+    val sk = Dedup.docSketches(corpus, spark).cache()
+    // bands: exploded kernel rows == the staged three-shuffle pipeline
+    val kernelBands = sk.select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.band_sig").as("band_sig"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val stagedBands = Dedup.lshBands(Dedup.minhash(corpus, spark))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(kernelBands == stagedBands)
+    // verify arrays: kernel shs == sorted capped collect_list of shingles
+    val sh = Dedup.shingles(corpus)
+    val staged = sh.groupBy("doc_id")
+      .agg(slice(array_sort(collect_list(col("shingle"))), 1,
+        Dedup.MaxVerifyShingles).as("shs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val kernelShs = sk.select(col("doc_id"), col("shs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // staged has no row for shingle-less docs; kernel emits an empty array
+    assert(kernelShs.filter(_._2.nonEmpty) == staged)
+    kernelShs.filter(_._2.isEmpty).keys.foreach(id => assert(!staged.contains(id)))
+    sk.unpersist(); corpus.unpersist()
+  }
+
   test("jaccard pairs: every planted pair passes the 600-permille gate") {
     val corpus = Corpora.withNearDups(docs)
     val nInjected = corpus.filter(col("doc_id") >= 1000000L).count()
