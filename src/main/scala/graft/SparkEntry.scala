@@ -611,8 +611,12 @@ object SparkEntry {
     // batch operators materialize) — never a full-corpus re-dedup
     "q_incr_dedup" -> ((s, dir) => {
       val (standing, delta) = ops.Corpora.incrementalSplit(ops.Corpora.normDocs(s, dir))
+      // the md5 index is the per-doc content hash column — value-identical
+      // to exact(standing).select("md5") (exact's stats join is row-
+      // preserving) without its groupBy + equi-join shuffles, which the
+      // anti-join consumer never needed
       ops.Dedup.incrementalDedup(delta,
-          ops.Dedup.exact(standing).select("md5"),
+          ops.TextAnalysis.fingerprint(standing).select("md5"),
           ops.Dedup.lshBands(ops.Dedup.minhash(standing, s)), s)
         .orderBy(col("doc_id"))
     }),
@@ -621,9 +625,11 @@ object SparkEntry {
     // band sigs in-row (one-aggregation-per-stream rule)
     "q_stream_incr_dedup" -> ((s, dir) => {
       val standing = ops.Corpora.incrementalSplit(ops.Corpora.normDocs(s, dir))._1
+      // same md5-index simplification as q_incr_dedup (value-identical,
+      // two fewer shuffles in the static-side pin)
       streaming.StreamingExtraction.runBoundedIncrementalDedup(s,
           streaming.StreamingExtraction.stageDeltaDocsDir(s, dir, 4),
-          ops.Dedup.exact(standing).select("md5"),
+          ops.TextAnalysis.fingerprint(standing).select("md5"),
           ops.Dedup.lshBands(ops.Dedup.minhash(standing, s)),
           "q_stream_incr_dedup_sink", maxFilesPerTrigger = 1)
         .orderBy(col("keep_doc"))
@@ -695,8 +701,12 @@ object SparkEntry {
     // then the same LSH-bucketed exact-threshold dedup as q_embed_neardup
     "q_text_neardup" -> ((s, dir) => {
       val corpus = ops.Corpora.withNearDups(ops.Corpora.normDocs(s, dir))
+      // localCheckpoint severs + materializes the doc-vector kernel ONCE:
+      // cosineNearDups walks its embedding input four times (dims probe,
+      // sketch kernel, and the two quantized join branches) — unsevered,
+      // each walk re-runs the full text→vector kernel over the corpus
       ops.Similarity.cosineNearDups(
-          pipeline.VectorFeatures.docVectorsKernel(corpus, s),
+          pipeline.VectorFeatures.docVectorsKernel(corpus, s).localCheckpoint(),
           TextNearDupPermille, TextBands, TextBitsPerBand, s)
         .orderBy(col("doc_a"), col("doc_b"))
     }),

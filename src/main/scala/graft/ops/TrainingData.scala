@@ -64,35 +64,45 @@ object TrainingData {
     * (GPT-3 appendix C). */
   val PipelineDecontamN = 5
 
-  /** Progressive survivor frames, one per stage (stage_id, name, frame).
-    * Each frame is (doc_id, text).
+  /** The chain's three materialization barriers (was six):
     *
-    * EVERY stage boundary is eagerly materialized (localCheckpoint): each
-    * gate consumes its input frame TWICE (the frame + the stat frame it is
-    * semi-joined against), so a lazy chain duplicates the upstream subtree
-    * 2× per stage — 2⁵ copies of the scan by stage 5, and the attrition
-    * union multiplies that again. Measured: the lazy form exploded to
-    * >9,000 Spark stages (plan/codegen storm, tasks serializing on the
-    * compile lock); the checkpointed form is six linear jobs. This is
-    * also the production shape — a real pipeline materializes each stage
-    * boundary anyway (that is where you read the attrition numbers). */
-  private def stages(docs: DataFrame, bench: DataFrame,
-                     spark: SparkSession): Seq[(Int, String, DataFrame)] = {
+    * Stages 1–3 are PER-DOCUMENT gates — langId, quality, and
+    * repetitionStats each read only their own document (plus broadcast
+    * constants), so the flag a doc gets on the ingested corpus is
+    * identical to the flag it would get on any survivor subset, and the
+    * nested stage populations are cumulative conjunctions over ONE flags
+    * frame. The previous form materialized every boundary (six eager
+    * checkpoints — each gate consumes its input twice, so a lazy chain
+    * would duplicate the upstream subtree 2× per stage; measured >9,000
+    * Spark stages lazy). Collapsing 1–3 into one flags pass keeps that
+    * protection (the flags frame is the one eagerly-pinned producer) while
+    * cutting the barrier count — under co-tenant load each barrier is a
+    * straggler opportunity (guide §2.6), and each checkpoint rewrites the
+    * surviving TEXT column to the block store.
+    *
+    * Stage 4's n-gram probe still runs only on the stage-1..3 survivors
+    * (the corpus shrinks before the expensive explode), and stage 5 stays
+    * corpus-global — their boundaries remain materialized, which is also
+    * the production shape (those are the frames a real pipeline writes).
+    *
+    * Returns (flags, s4, s5): the per-doc flag frame
+    * (doc_id, text, l_ok, q_ok, r_ok), the materialized decontam-survivor
+    * frame, and the lazy dedup-survivor frame. */
+  private def chain(docs: DataFrame, bench: DataFrame,
+                    spark: SparkSession): (DataFrame, DataFrame, DataFrame) = {
     val d0 = docs.localCheckpoint(true)
-    val s1 = d0.join(
-      TextAnalysis.langId(d0).filter(col("lang_pred") === "en")
-        .select("doc_id"), Seq("doc_id"), "left_semi")
+    val flags = d0.select(col("doc_id"), col("text"))
+      .join(TextAnalysis.langId(d0).select(col("doc_id"),
+        (col("lang_pred") === "en").as("l_ok")), Seq("doc_id"))
+      .join(TextAnalysis.quality(d0).select(col("doc_id"),
+        col("keep").as("q_ok")), Seq("doc_id"))
+      .join(TextAnalysis.repetitionStats(d0, spark).select(col("doc_id"),
+        (col("dup_tok_permille") <= MaxDupTokPermille &&
+          col("top_gram_permille") <= MaxTopGramPermille).as("r_ok")),
+        Seq("doc_id"))
       .localCheckpoint(true)
-    val s2 = s1.join(
-      TextAnalysis.quality(s1).filter(col("keep")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
-    val s3 = s2.join(
-      TextAnalysis.repetitionStats(s2, spark)
-        .filter(col("dup_tok_permille") <= MaxDupTokPermille &&
-          col("top_gram_permille") <= MaxTopGramPermille)
-        .select("doc_id"), Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
+    val s3 = flags.filter(col("l_ok") && col("q_ok") && col("r_ok"))
+      .select("doc_id", "text")
     val s4 = s3.join(
       TextAnalysis.decontaminationStats(s3, bench, n = PipelineDecontamN)
         .filter(col("contam_permille") >= MaxContamPermille)
@@ -101,23 +111,34 @@ object TrainingData {
     val s5 = s4.join(
       Dedup.exact(s4).filter(col("keep")).select("doc_id"),
       Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
-    Seq((0, "ingest", d0), (1, "lang", s1), (2, "quality", s2),
-      (3, "repetition", s3), (4, "decontam", s4), (5, "exact_dedup", s5))
+    (flags, s4, s5)
   }
 
-  /** The cleaned corpus after the full chain. */
+  /** The cleaned corpus after the full chain (eagerly materialized — the
+    * final stage boundary, same contract as before). */
   def survivors(docs: DataFrame, bench: DataFrame,
                 spark: SparkSession): DataFrame =
-    stages(docs, bench, spark).last._3
+    chain(docs, bench, spark)._3.localCheckpoint(true)
 
-  /** Per-stage survival report: (stage_id, stage, n_docs) — counts over
-    * the materialized stage boundaries, so the report costs six cached
-    * counts on top of the `survivors` work it shares. */
+  /** Per-stage survival report: (stage_id, stage, n_docs). Stages 0–3 are
+    * one conditional aggregation over the flags frame (cumulative
+    * conjunctions ≡ the nested survivor populations); stages 4–5 count
+    * their materialized/terminal frames. Same six rows as the
+    * boundary-per-stage form — oracle q_pipeline pins it. */
   def attrition(docs: DataFrame, bench: DataFrame,
-                spark: SparkSession): DataFrame =
-    stages(docs, bench, spark).map { case (i, name, df) =>
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(i).as("stage_id"), lit(name).as("stage"), col("n_docs"))
-    }.reduce(_ union _)
+                spark: SparkSession): DataFrame = {
+    val (flags, s4, s5) = chain(docs, bench, spark)
+    import spark.implicits._
+    val f = flags.agg(
+      count(lit(1)).as("n0"),
+      coalesce(sum(when(col("l_ok"), 1L).otherwise(0L)), lit(0L)).as("n1"),
+      coalesce(sum(when(col("l_ok") && col("q_ok"), 1L).otherwise(0L)),
+        lit(0L)).as("n2"),
+      coalesce(sum(when(col("l_ok") && col("q_ok") && col("r_ok"), 1L)
+        .otherwise(0L)), lit(0L)).as("n3")).head
+    Seq((0, "ingest", f.getLong(0)), (1, "lang", f.getLong(1)),
+      (2, "quality", f.getLong(2)), (3, "repetition", f.getLong(3)),
+      (4, "decontam", s4.count()), (5, "exact_dedup", s5.count()))
+      .toDF("stage_id", "stage", "n_docs")
+  }
 }
