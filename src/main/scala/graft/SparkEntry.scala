@@ -617,7 +617,7 @@ object SparkEntry {
       // anti-join consumer never needed
       ops.Dedup.incrementalDedup(delta,
           ops.TextAnalysis.fingerprint(standing).select("md5"),
-          ops.Dedup.lshBands(ops.Dedup.minhash(standing, s)), s)
+          ops.Dedup.bandSigsKernel(standing, s), s)
         .orderBy(col("doc_id"))
     }),
     // the same snapshot-delta dedup as a STREAM: delta pages arrive in
@@ -630,7 +630,7 @@ object SparkEntry {
       streaming.StreamingExtraction.runBoundedIncrementalDedup(s,
           streaming.StreamingExtraction.stageDeltaDocsDir(s, dir, 4),
           ops.TextAnalysis.fingerprint(standing).select("md5"),
-          ops.Dedup.lshBands(ops.Dedup.minhash(standing, s)),
+          ops.Dedup.bandSigsKernel(standing, s),
           "q_stream_incr_dedup_sink", maxFilesPerTrigger = 1)
         .orderBy(col("keep_doc"))
     }),

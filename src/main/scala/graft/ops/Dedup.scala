@@ -278,6 +278,16 @@ object Dedup {
       }.toDF("doc_id", "bands", "shs")
   }
 
+  /** Long-format (doc_id, band, band_sig) rows from the one-pass kernel —
+    * drop-in, value-identical replacement for
+    * `lshBands(minhash(docs))` (spec-pinned via docSketches) at zero
+    * shuffles instead of three. */
+  def bandSigsKernel(docs: DataFrame, spark: SparkSession): DataFrame =
+    docSketches(docs, spark)
+      .select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.band_sig").as("band_sig"))
+
   /** End-to-end near-duplicate CLUSTERING — the production web-corpus dedup
     * pipeline (candidates → verify → cluster → keep-canonical), composed
     * from the operators above:
@@ -432,7 +442,9 @@ object Dedup {
     val fresh = h.join(own, "md5").filter(col("doc_id") === col("keep_id"))
       .join(indexMd5.select("md5"), Seq("md5"), "left_anti")
       .select("doc_id", "text", "md5")
-    val flagged = lshBands(minhash(fresh, spark))
+    // kernel band signatures (value-identical to lshBands(minhash(...)),
+    // spec-pinned): the survivors' sketches never shuffle before the probe
+    val flagged = bandSigsKernel(fresh, spark)
       .join(indexBands.select("band", "band_sig"),
         Seq("band", "band_sig"), "left_semi")
       .select(col("doc_id")).distinct()

@@ -42,10 +42,24 @@ object KgGraph {
     * localCheckpoint'd so lineage stays flat. A hub vertex fans out
     * map-side; the visited anti-join keeps the frontier monotone shrinking
     * on re-reached vertices. */
-  def kHop(edges0: DataFrame, seeds: DataFrame, maxHops: Int = DefaultHops): DataFrame = {
+  /** One-task edge ceiling for [[kHop]]'s exact local twin (the
+    * ConnectedComponents.adaptive pattern; `SPARK_GRAFT_KHOP_LOCAL_LIMIT`).
+    * Output is bounded by the vertex set, so an input-size guard bounds
+    * the task. */
+  val LocalHopLimit: Long =
+    sys.env.get("SPARK_GRAFT_KHOP_LOCAL_LIMIT").map(_.toLong).getOrElse(1000000L)
+
+  def kHop(edges0: DataFrame, seeds: DataFrame, maxHops: Int = DefaultHops,
+           localLimit: Long = LocalHopLimit): DataFrame = {
     require(maxHops >= 0, s"KgGraph.kHop: maxHops must be >= 0, got $maxHops")
     val edges = edges0.select(col("src"), col("dst")).distinct().cache()
     try {
+      // size-adaptive: a small graph runs the whole BFS in one task (same
+      // min-hop semantics, KgGraphSpec-pinned) instead of maxHops ×
+      // (join + distinct + anti-join + checkpoint) barriers
+      if (edges.schema("src").dataType == org.apache.spark.sql.types.StringType
+          && edges.count() <= localLimit)
+        return kHopLocal(edges, seeds, maxHops)
       var visited = seeds.select(col("v")).distinct()
         .withColumn("hop", lit(0)).localCheckpoint()
       var frontier = visited.select(col("v"))
@@ -59,6 +73,45 @@ object KgGraph {
       }
       visited
     } finally edges.unpersist()
+  }
+
+  /** The small-graph branch of [[kHop]]: edges and seeds into one task,
+    * plain BFS with min-hop labels — identical rows to the iterative
+    * frontier expansion. Eagerly checkpointed (the caller unpersists the
+    * edge cache on return). Seed rows ride in the same union tagged by a
+    * null dst. */
+  private def kHopLocal(edges: DataFrame, seeds: DataFrame,
+                        maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val tagged = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(seeds.select(col("v").cast("string").as("a"),
+        lit(null).cast("string").as("b")))
+      .as[(String, String)]
+    tagged.groupByKey(_ => 0).flatMapGroups { (_, it) =>
+      val adj = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+      val seedSet = scala.collection.mutable.LinkedHashSet.empty[String]
+      it.foreach {
+        case (a, null) => seedSet += a
+        case (a, b) =>
+          adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      }
+      val hop = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      seedSet.foreach(v => hop.update(v, 0))
+      var frontier: Iterable[String] = seedSet
+      var h = 1
+      while (h <= maxHops && frontier.nonEmpty) {
+        val next = scala.collection.mutable.LinkedHashSet.empty[String]
+        frontier.foreach(v => adj.get(v).foreach(_.foreach { d =>
+          if (!hop.contains(d)) next += d
+        }))
+        next.foreach(v => hop.update(v, h))
+        frontier = next
+        h += 1
+      }
+      hop.iterator.map { case (v, hh) => (v, hh) }
+    }.toDF("v", "hop").localCheckpoint(true)
   }
 
   /** Transitive closure of a directed edge set via PATH DOUBLING: each

@@ -56,12 +56,27 @@ object PageRank {
     * lands on withBase's cached layout. The 2→8-core sweep that motivated
     * this hoist measured 0.62 efficiency with the in-loop joins vs 0.8+
     * for the map-side-combinable family. */
-  def run(edges0: DataFrame, iters: Int = DefaultIters): DataFrame = {
+  /** One-task edge ceiling for the exact local twin: at or below this the
+    * whole fixed-point iteration runs inside ONE task (identical integer
+    * arithmetic, bit-equal output — spec-pinned in KgGraphSpec) instead of
+    * paying iters × (join + groupBy) distributed barriers. Parameterised
+    * for cluster deployments (`SPARK_GRAFT_PR_LOCAL_LIMIT`); the scaling
+    * sweeps' 10M–40M-edge graphs stay on the distributed path. */
+  val LocalEdgeLimit: Long =
+    sys.env.get("SPARK_GRAFT_PR_LOCAL_LIMIT").map(_.toLong).getOrElse(1000000L)
+
+  def run(edges0: DataFrame, iters: Int = DefaultIters,
+          localLimit: Long = LocalEdgeLimit): DataFrame = {
     require(iters >= 1, s"PageRank.run: iters must be >= 1, got $iters")
     // eager checkpoint: contrib, nodes, and withBase each derive from the
     // edge set through separate plans — sever the upstream lineage so the
     // producing query (an extraction at sf bench scale) runs exactly once
     val edges = edges0.select(col("src"), col("dst")).distinct().localCheckpoint()
+    // size-adaptive (the ConnectedComponents.adaptive pattern): the count
+    // reads the fresh checkpoint, not the upstream producer
+    if (edges.schema("src").dataType == org.apache.spark.sql.types.StringType
+        && edges.count() <= localLimit)
+      return runLocal(edges, iters)
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // loop-invariant contribution table, partitioned on the join key
     val contrib = edges.join(outd, "src")
@@ -104,4 +119,41 @@ object PageRank {
 
   /** Lineage-truncation cadence for the iteration loop. */
   val CheckpointEvery = 4
+
+  /** The small-graph branch of [[run]]: all edges into one task, the same
+    * fixed-point recurrence as plain Scala longs — base = Scale div n,
+    * inflow(d) = Σ src_mass div deg(src), mass = ((1000−Damp)·base) div
+    * 1000 + (Damp·inflow) div 1000 — every `div` a truncating division of
+    * non-negative longs, so the output is BIT-EQUAL to the distributed
+    * join+groupBy iteration (KgGraphSpec pins it). Eagerly checkpointed:
+    * the caller's edge checkpoint may be released after return. */
+  private def runLocal(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.as[(String, String)].groupByKey(_ => 0).flatMapGroups { (_, it) =>
+      val es = it.toArray
+      val deg = scala.collection.mutable.HashMap.empty[String, Long]
+      val nodes = scala.collection.mutable.LinkedHashSet.empty[String]
+      es.foreach { case (s, d) =>
+        deg.update(s, deg.getOrElse(s, 0L) + 1L); nodes += s; nodes += d
+      }
+      val n = nodes.size.toLong
+      val base = Scale / n
+      var mass = scala.collection.mutable.HashMap.empty[String, Long]
+      nodes.foreach(v => mass.update(v, base))
+      for (_ <- 1 to iters) {
+        val inflow = scala.collection.mutable.HashMap.empty[String, Long]
+        es.foreach { case (s, d) =>
+          inflow.update(d, inflow.getOrElse(d, 0L) + mass(s) / deg(s))
+        }
+        val next = scala.collection.mutable.HashMap.empty[String, Long]
+        nodes.foreach { v =>
+          next.update(v, ((1000L - DampMilli) * base) / 1000L +
+            (DampMilli * inflow.getOrElse(v, 0L)) / 1000L)
+        }
+        mass = next
+      }
+      nodes.iterator.map(v => (v, mass(v)))
+    }.toDF("v", "mass").localCheckpoint(true)
+  }
 }

@@ -98,6 +98,15 @@ class KgGraphSpec extends AnyFunSuite {
     assert(total <= PageRank.Scale && total > PageRank.Scale / 2)
   }
 
+  test("pagerank: single-task local twin ≡ distributed iteration, bit-equal") {
+    val rng = new scala.util.Random(13)
+    val edges = Seq.fill(60)((s"v${rng.nextInt(25)}", s"v${rng.nextInt(25)}"))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    def massMap(lim: Long) = PageRank.run(edges, 5, localLimit = lim)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(massMap(PageRank.LocalEdgeLimit) == massMap(0L))
+  }
+
   test("pagerank: partition-invariant and duplicate-edge-invariant") {
     val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "a"), ("b", "a"))
       .toDF("src", "dst")
@@ -156,6 +165,14 @@ class KgGraphSpec extends AnyFunSuite {
     kg.unpersist(); negt.unpersist()
   }
 
+  test("train: one-task local twin ≡ distributed epochs, bit-equal") {
+    val kg = kgFixture
+    def snap(lim: Long) =
+      KgEmbedding.train(kg, spark, 2, localLimit = lim)
+        .orderBy("kind", "id", "k").collect().toSeq
+    assert(snap(KgEmbedding.LocalTripleLimit) == snap(0L))
+  }
+
   test("train: partition-invariant, bit-equal embeddings") {
     val kg = kgFixture
     def snap(df: org.apache.spark.sql.DataFrame) =
@@ -191,6 +208,14 @@ class KgGraphSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     // C is at hop 1 via the side edge, NOT hop 2 via B; D therefore hop 2
     assert(got == Map("A" -> 0, "B" -> 1, "C" -> 1, "D" -> 2))
+  }
+
+  test("kHop: single-task local twin ≡ iterative frontier expansion") {
+    val seeds = Seq("A", "X").toDF("v")
+    def hops(lim: Long) = ops.KgGraph.kHop(bfsEdges, seeds, 2, localLimit = lim)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(hops(ops.KgGraph.LocalHopLimit) == hops(0L))
+    assert(hops(0L) == Map("A" -> 0, "X" -> 0, "B" -> 1, "C" -> 1, "Y" -> 1, "D" -> 2))
   }
 
   test("kHop: hop budget truncates; unreached vertices are absent") {
