@@ -45,7 +45,13 @@ object Dedup {
         (col("doc_id") === col("canonical_id")).as("keep"))
   }
 
-  /** Distinct word-shingles per doc. Partition-local (explode only). */
+  /** Distinct word-shingles per doc. Fully partition-local: distinctness
+    * of (doc_id, shingle) is a PER-DOCUMENT property, so `array_distinct`
+    * inside the row before the explode yields the identical row set with
+    * ZERO shuffle — the previous `.distinct()` after the explode
+    * hash-exchanged the whole shingle stream to deduplicate rows that were
+    * already unique across documents. PRECONDITION (unchanged, all callers
+    * satisfy it): doc_id is unique per input row. */
   def shingles(docs: DataFrame): DataFrame = {
     val k = ShingleSize
     docs
@@ -53,9 +59,8 @@ object Dedup {
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
         explode(expr(
-          s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"
+          s"array_distinct(transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k))))"
         )).as("shingle"))
-      .distinct()
   }
 
   /** MinHash signatures, long format (doc_id, seed, minhash).

@@ -41,16 +41,27 @@ object KgBuild {
 
   private def manifestPath(outDir: String) = Paths.get(outDir, "_kg_manifest.jsonl")
 
+  /** Anchored full-record shape of one manifest line (we own the writer,
+    * so the exact field order is a contract): a TORN line — a crash mid-
+    * append leaving a partial record, possibly with the next record
+    * concatenated onto it — cannot match the ^…$ anchors and is treated as
+    * uncommitted, so the snapshot is rebuilt idempotently instead of the
+    * old per-key regex scraping stitching fields from two records into one
+    * bogus 'committed' entry and corrupting the delta-base chain. */
+  private val ManifestLineRe =
+    ("""^\{"snap":(-?\d+),"status":"done","n_triples":(-?\d+),""" +
+      """"added":(-?\d+),"removed":(-?\d+),"changed":(-?\d+),""" +
+      """"wall_ms":(-?\d+)\}$""").r
+
   /** Committed snapshots: snapId → its manifest metrics line. */
   def committed(outDir: String): Map[Long, SnapshotMetrics] = {
     val p = manifestPath(outDir)
     if (!Files.exists(p)) Map.empty
-    else Files.readAllLines(p).asScala.flatMap { l =>
-      def f(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
-      for {
-        id <- f("snap"); n <- f("n_triples"); a <- f("added")
-        r <- f("removed"); c <- f("changed"); w <- f("wall_ms")
-      } yield id -> SnapshotMetrics(id, n, a, r, c, w)
+    else Files.readAllLines(p).asScala.flatMap {
+      case ManifestLineRe(id, n, a, r, c, w) =>
+        Some(id.toLong -> SnapshotMetrics(id.toLong, n.toLong, a.toLong,
+          r.toLong, c.toLong, w.toLong))
+      case _ => None // torn/blank line: not a commit
     }.toMap
   }
 
@@ -110,9 +121,13 @@ object KgBuild {
     val m = SnapshotMetrics(snapId, n,
       counts.getOrElse("added", 0L), counts.getOrElse("removed", 0L),
       counts.getOrElse("support_changed", 0L), System.currentTimeMillis() - t0)
-    // commit point: everything above is durable before this line
+    // commit point: everything above is durable before this line. The
+    // record is "\n"-PREFIXED so that a previous torn append (partial line
+    // without its trailing newline) can never concatenate with this one —
+    // the torn fragment stays on its own (rejected) line and this record
+    // starts fresh; blank lines are skipped by the anchored parse.
     Files.write(manifestPath(outDir),
-      (s"""{"snap":${m.snapId},"status":"done","n_triples":${m.nTriples},""" +
+      ("\n" + s"""{"snap":${m.snapId},"status":"done","n_triples":${m.nTriples},""" +
         s""""added":${m.added},"removed":${m.removed},"changed":${m.changed},""" +
         s""""wall_ms":${m.wallMillis}}""" + "\n").getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)

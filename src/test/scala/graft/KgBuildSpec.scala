@@ -94,4 +94,20 @@ class KgBuildSpec extends AnyFunSuite {
     assert(m0.nTriples > 3) // the partial write was replaced by the full build
     assert(m0.added == m0.nTriples) // and snap 0 still diffs against EMPTY
   }
+
+  test("manifest: torn/concatenated lines are rejected, never stitched") {
+    val out = Files.createTempDirectory("graft_kg4").toString
+    val good = """{"snap":7,"status":"done","n_triples":10,"added":10,""" +
+      """"removed":0,"changed":0,"wall_ms":5}"""
+    // a crash mid-append left a partial record with NO trailing newline,
+    // then the next append's record landed on the same line
+    val torn = """{"snap":1,"status":"done","n_triples":3,"added":3,"remo""" + good
+    Files.write(java.nio.file.Paths.get(out, "_kg_manifest.jsonl"),
+      (torn + "\n" + good + "\n").getBytes)
+    val got = KgBuild.committed(out)
+    // the torn line yields NOTHING (not a stitched snap=1 or snap=7 entry);
+    // the intact line parses normally
+    assert(got.keySet == Set(7L))
+    assert(got(7L).nTriples == 10L && got(7L).wallMillis == 5L)
+  }
 }
