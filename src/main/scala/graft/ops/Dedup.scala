@@ -336,11 +336,13 @@ object Dedup {
     val verified = cands
       .join(shSets.select(col("doc_id").as("doc_a"), col("shs").as("sha")), "doc_a")
       .join(shSets.select(col("doc_id").as("doc_b"), col("shs").as("shb")), "doc_b")
-      .withColumn("n_common", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard_permille",
-        (col("n_common") * 1000 /
-          (size(col("sha")) + size(col("shb")) - col("n_common"))).cast("long"))
-      .filter(col("jaccard_permille") >= minPermille)
+      // bind: the jaccard formula references n_common twice (numerator +
+      // union denominator), and pushdown puts it in the join condition
+      // where interpreted array_intersect has no CSE — one intersection
+      // per candidate pair, not two
+      .filter(bind(size(array_intersect(col("sha"), col("shb")))) { nc =>
+        (nc * 1000 / (size(col("sha")) + size(col("shb")) - nc))
+          .cast("long") >= minPermille })
       .select("doc_a", "doc_b").cache()
     val verts = verified.select(col("doc_a").as("v"))
       .union(verified.select(col("doc_b").as("v"))).distinct()

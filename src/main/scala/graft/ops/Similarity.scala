@@ -19,6 +19,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Let-binding for Column expressions (the Dedup.bind twin): evaluate `c`
+    * ONCE and reference it through a lambda variable. A threshold filter
+    * that references the same dot-product aggregate several times gets
+    * pushed into the candidate join's CONDITION, where interpreted HOFs
+    * have no common-subexpression elimination — the 32-dim zip_with
+    * aggregate was evaluated three times per candidate pair (measured in
+    * q_text_neardup's plan). */
+  private def bind(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Sketch-bucket cap (mirrors Dedup.MaxBandDf): a degenerate (band, sig)
     * bucket — e.g. an all-equal embedding cluster — would emit O(df²) join
     * rows; buckets above the cap are dropped from the candidate joins, and
@@ -65,7 +75,12 @@ object Similarity {
   private def nearestCell: Column =
     aggregate(col("cents"),
       struct(lit(Double.MaxValue).as("negcos"), lit(Long.MaxValue).as("cell")),
-      (acc, c) => { val cand = negCosCell(c); when(cand < acc, cand).otherwise(acc) })
+      // bind: a Scala `val` of the candidate struct still builds the
+      // expression TREE twice (comparison + selected branch), so the
+      // centroid dot product would run 2× per centroid — the lambda
+      // variable evaluates it once
+      (acc, c) => bind(negCosCell(c)) { cand =>
+        when(cand < acc, cand).otherwise(acc) })
       .getField("cell")
 
   /** Codebook rows (cell, cq, cn) = the embeddings of the `nlist` lowest
@@ -350,11 +365,12 @@ object Similarity {
       .join(assigned.select(col("cell"), col("vec_id"),
         col("q").as("qb"), col("norm2").as("nb")), Seq("cell"))
       .filter(col("a_id") < col("vec_id"))
-      .withColumn("dot", dotQ(col("qa"), col("qb")))
-      .filter(col("dot") > 0 &&
-        col("dot").cast("decimal(38,0)") * col("dot") * lit(1000000L) >=
+      // bind: one dot evaluation per in-cell pair even after predicate
+      // pushdown into the join condition (see cosineNearDups)
+      .filter(bind(dotQ(col("qa"), col("qb"))) { d =>
+        d > 0 && d.cast("decimal(38,0)") * d * lit(1000000L) >=
           lit(minCosPermille.toLong * minCosPermille) *
-            col("na").cast("decimal(38,0)") * col("nb"))
+            col("na").cast("decimal(38,0)") * col("nb") })
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("dup_wit"))
     assigned.select(col("vec_id"), col("cell"))
@@ -401,14 +417,17 @@ object Similarity {
       .join(q.select(col("vec_id").as("doc_a"), col("q").as("qa"), col("norm2").as("na")), "doc_a")
       .join(q.select(col("vec_id").as("doc_b"), col("q").as("qb"), col("norm2").as("nb")), "doc_b")
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("dot", dotQ(col("qa"), col("qb")))
       // exact integer threshold test in decimal(38,0): dot²·10⁶ ≥ thr²·na·nb.
       // Long math would overflow (and silently wrap) for norms ≳ 2; decimal
       // keeps it exact to 10^38, matching DuckDB's HUGEINT semantics.
-      .filter(col("dot") > 0 &&
-        col("dot").cast("decimal(38,0)") * col("dot") * lit(1000000L) >=
+      // `bind` evaluates the dot aggregate ONCE per candidate even after
+      // the optimizer pushes this predicate into the join condition; the
+      // output `dot` column re-evaluates only on the (few) survivors.
+      .filter(bind(dotQ(col("qa"), col("qb"))) { d =>
+        d > 0 && d.cast("decimal(38,0)") * d * lit(1000000L) >=
           lit(minCosPermille.toLong * minCosPermille) *
-            col("na").cast("decimal(38,0)") * col("nb"))
+            col("na").cast("decimal(38,0)") * col("nb") })
+      .withColumn("dot", dotQ(col("qa"), col("qb")))
       .select("doc_a", "doc_b", "dot")
   }
 }
