@@ -375,9 +375,11 @@ object SparkEntry {
     "q_winnow" -> ((s, dir) =>
       // winnowing fingerprints as a distinct (doc_id, fingerprint) set; the
       // oracle replays the k-gram polynomial mod-M hash and the w-window
-      // min sweep in SQL from the same constants
+      // min sweep in SQL from the same constants. The rows are distinct by
+      // construction (winnow dedups per doc, doc_id unique), so no
+      // .distinct() exchange
       ops.TextAnalysis.winnowFingerprints(ops.Corpora.normDocs(s, dir), s)
-        .distinct().orderBy(col("doc_id"), col("fingerprint"))),
+        .orderBy(col("doc_id"), col("fingerprint"))),
 
     // substring-level dedup: per-doc duplicated-span mass over the corpus
     // with planted near-duplicates (fingerprint df >= 2 witnesses a shared

@@ -120,7 +120,11 @@ object TextAnalysis {
     out.toSeq
   }
 
-  /** Winnowing as a Dataset op: (doc_id, fingerprint) rows. */
+  /** Winnowing as a Dataset op: (doc_id, fingerprint) rows. The rows are
+    * ALREADY DISTINCT — `winnow` dedups per doc (LinkedHashSet) and
+    * doc_id is unique per input row (the repo-wide corpus precondition) —
+    * so consumers must NOT append `.distinct()`: it is a full exchange of
+    * the fingerprint stream that removes nothing. */
   def winnowFingerprints(docs: DataFrame, spark: SparkSession,
                          k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
     import spark.implicits._
@@ -356,7 +360,8 @@ object TextAnalysis {
     // The fingerprint frame is persisted for the two consumers; the
     // per-doc result (bounded: one row per doc) is materialized eagerly so
     // the cache releases before returning.
-    val fps = winnowFingerprints(docs, spark, k, w).distinct()
+    // no .distinct(): winnowFingerprints rows are distinct by construction
+    val fps = winnowFingerprints(docs, spark, k, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val fpdf = fps.groupBy("fingerprint").agg(count(lit(1)).as("df"))
@@ -403,7 +408,8 @@ object TextAnalysis {
     // one shuffle, no self-join (which would recompute the whole winnow
     // pipeline for its second branch), and a df=10^9 boilerplate
     // fingerprint can never materialize its full doc list
-    Buckets.pairsWithin(winnowFingerprints(docs, spark, k, w).distinct(),
+    // no .distinct(): winnowFingerprints rows are distinct by construction
+    Buckets.pairsWithin(winnowFingerprints(docs, spark, k, w),
         Seq("fingerprint"), "doc_id", maxDf, dedup = false)
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
