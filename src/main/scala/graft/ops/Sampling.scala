@@ -30,12 +30,19 @@ object Sampling {
       substring(md5(concat_ws("|", col("doc_id"), col("h"), col("t"))
         .cast("binary")), 1, 3))
     val sampledNa = keyed.filter(col("is_na") && col("_h") < hexThreshold)
-    val w = Window.partitionBy("doc_id").orderBy(col("_h"), col("h"), col("t"))
+    // the rescue pair is the per-doc MIN of (_h, h, t) — a map-side-
+    // combinable struct-min aggregation, not a row_number window (the
+    // repo's no-sort-window-for-per-key-min discipline; struct comparison
+    // is field-by-field, identical to the previous orderBy). If that min's
+    // _h is under the threshold the doc has a sampled NA and the anti-join
+    // drops it — same rows as the old rank-1 filter.
     val rescue = keyed.filter(col("is_na"))
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1 && col("_h") >= hexThreshold)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("_h"), col("h"), col("t"))).as("m"))
+      .filter(col("m._h") >= hexThreshold)
       .join(sampledNa.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-      .drop("_rk")
+      .select(col("doc_id"), col("m.h").as("h"), col("m.t").as("t"),
+        lit(true).as("is_na"), col("m._h").as("_h"))
     keyed.filter(!col("is_na"))
       .unionByName(sampledNa)
       .unionByName(rescue)
