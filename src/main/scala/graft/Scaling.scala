@@ -234,7 +234,12 @@ object Scaling {
     * production build reads the triple table its extraction stage wrote). */
   def materializedTriples(spark: SparkSession, sfDir: String): String = {
     val layoutV = "v1_96f"
-    val path = s"/tmp/graft_scaling_triples_${layoutV}_r${Replicas}_${sfDir.replaceAll("[^a-z0-9.]", "_")}"
+    // kernel-version token: this cache bakes in the injected-kernel
+    // SEMANTICS, not just layout — bump KnowledgeInjection.KernelVersion
+    // alongside any extraction-semantics change or the sweep silently
+    // benches a stale triple table (ADVICE r5)
+    val kernelV = graft.pipeline.KnowledgeInjection.KernelVersion
+    val path = s"/tmp/graft_scaling_triples_${layoutV}_k${kernelV}_r${Replicas}_${sfDir.replaceAll("[^a-z0-9.]", "_")}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
       val corpus = materializedCorpus(spark, sfDir)
       val pages = spark.read.parquet(corpus)

@@ -42,6 +42,11 @@ import graft.kb.Gazetteer
   */
 object KnowledgeInjection {
 
+  /** Version token for caches that bake in this kernel's SEMANTICS (e.g.
+    * Scaling.materializedTriples): bump on any change to what the injected
+    * kernel extracts, so stale /tmp materializations invalidate. */
+  val KernelVersion = 1
+
   // integer milli-logit weights — shared verbatim with the oracle SQL
   val WBase = 2000
   val WDist = -50 // per log2 distance bucket (0..9)
