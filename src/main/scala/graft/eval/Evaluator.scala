@@ -32,23 +32,31 @@ object Evaluator {
     * flag for the Ign variant. One row out. */
   def score(preds: DataFrame, gold: DataFrame): DataFrame = {
     val p = preds.select(keyCols: _*).distinct() // W4 submission dedup
+      .withColumn("in_pred", lit(true))
     val g = gold.select((keyCols :+ coalesce(col("intrain"), lit(false)).as("intrain")): _*)
       .groupBy("doc_id", "subj", "pred", "obj")
       .agg(max(col("intrain")).as("intrain"))
-    // single-pass conditional aggregation on each side (2 jobs, not 5)
-    val pr = p.join(g, Seq("doc_id", "subj", "pred", "obj"), "left")
+      .withColumn("in_gold", lit(true))
+    // ONE full-outer pass yields all five counts (one action, not two —
+    // the previous left-join + separate gold aggregation walked the
+    // upstream twice); null markers after the full outer mean
+    // "absent from that side"
+    val r = p.join(g, Seq("doc_id", "subj", "pred", "obj"), "full_outer")
       .agg(
-        count(lit(1)).as("np"),
-        count(col("intrain")).as("nc"),
-        coalesce(sum(when(col("intrain") === false, 1L).otherwise(0L)), lit(0L)).as("nci"))
+        coalesce(sum(when(col("in_pred"), 1L).otherwise(0L)), lit(0L)).as("np"),
+        coalesce(sum(when(col("in_pred") && col("in_gold"), 1L).otherwise(0L)),
+          lit(0L)).as("nc"),
+        coalesce(sum(when(col("in_pred") && col("in_gold") && !col("intrain"), 1L)
+          .otherwise(0L)), lit(0L)).as("nci"),
+        coalesce(sum(when(col("in_gold"), 1L).otherwise(0L)), lit(0L)).as("ng"),
+        coalesce(sum(when(col("in_gold") && !col("intrain"), 1L).otherwise(0L)),
+          lit(0L)).as("ngi"))
       .head
-    val gr = g.agg(count(lit(1)).as("ng"),
-      coalesce(sum(when(!col("intrain"), 1L).otherwise(0L)), lit(0L)).as("ngi")).head
-    val nPred = pr.getLong(0)
-    val nCorrect = pr.getLong(1)
-    val nCorrectIgn = pr.getLong(2)
-    val nGold = gr.getLong(0)
-    val nGoldIgn = gr.getLong(1)
+    val nPred = r.getLong(0)
+    val nCorrect = r.getLong(1)
+    val nCorrectIgn = r.getLong(2)
+    val nGold = r.getLong(3)
+    val nGoldIgn = r.getLong(4)
     val spark = preds.sparkSession
     import spark.implicits._
     val precision = if (nPred == 0) 0L else nCorrect * 1000 / nPred
