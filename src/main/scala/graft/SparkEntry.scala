@@ -303,7 +303,9 @@ object SparkEntry {
       // injected triples, per sentence-distance bucket — KB-evidenced
       // long-range triples land in buckets ≥ 1 where same-sentence rules
       // structurally cannot reach
-      val pages = Pages.fromDocuments(s, dir)
+      // pages cached: the mention kernel AND the injected kernel each scan
+      // the derived pages table (scan + wrap + extract) — one derivation
+      val pages = Pages.fromDocuments(s, dir).cache()
       val linked = Stages.linkedFast(Stages.mentionsKernel(pages, s), s).cache()
       // rule triples from the CACHED linked table (pinned row-identical to
       // the kernel extraction) — no second pass over the page text
@@ -324,7 +326,11 @@ object SparkEntry {
       // is only the right tool at dev-set size (the distributed binned twin,
       // pinned ≤ 1 permille from it in EvalExtrasSpec, is the corpus-scale
       // path). The slice filter pushes to the page scan.
+      // pages cached: the mention kernel and the injected kernel below each
+      // scan the derived pages slice — one derivation (q_recall_dist's
+      // pattern)
       val pages = Pages.fromDocuments(s, dir).filter(col("doc_id") % 10 === 0)
+        .cache()
       val linked = Stages.linkedFast(Stages.mentionsKernel(pages, s), s)
       // fused injected kernel over the same dev slice (row-identity to the
       // staged path pinned in InjectionSpec)
