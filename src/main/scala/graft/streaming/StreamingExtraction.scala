@@ -40,6 +40,54 @@ object StreamingExtraction {
 
   case class KbTriple(subj: String, pred: String, obj: String)
 
+  /** ceil(inputBytes / targetBytes) clamped to [1, prevPartitions] — the
+    * pure clamp behind [[withDerivedStatePartitions]], factored out so the
+    * scale behavior (small feed → 1, production feed → the configured
+    * count, never 0, never above it) is spec-pinnable without a stream. */
+  private[graft] def derivedStatePartitions(prevPartitions: Int,
+                                                inputBytes: Long,
+                                                targetBytes: Long): Int =
+    math.max(1L, math.min(prevPartitions.toLong,
+      (inputBytes + targetBytes - 1) / math.max(1L, targetBytes))).toInt
+
+  /** Run `f` (a bounded stream lifecycle: start → processAllAvailable →
+    * stop) with `spark.sql.shuffle.partitions` — which fixes the stream's
+    * STATE-STORE partition count at first batch — DERIVED from the feed's
+    * input bytes instead of inherited as-is: ceil(inputBytes /
+    * advisoryPartitionSizeInBytes), clamped to [1, current shuffle
+    * partitions]. Guide §2.2 (partitions sized by the data, not a constant
+    * tuned for either local mode or the cluster) applied to the one shuffle
+    * AQE cannot coalesce — stateful streaming disables AQE, so a bounded
+    * feed of a few MB otherwise pays `shuffle.partitions` state-store
+    * opens + commits PER MICRO-BATCH of pure fixed cost (measured at
+    * local[32]/sf0.1: 32→4 partitions halves each stateful stream query
+    * with bit-identical terminal state — the running aggregates are
+    * partitioning-invariant, spec-pinned). The clamp ceiling keeps cluster
+    * behavior unchanged: any input ≥ partitions × advisory bytes (every
+    * production crawl) derives ≥ the configured count and is capped to it.
+    * Override: SPARK_GRAFT_STREAM_STATE_PARTITIONS. The conf is restored
+    * after the stream stops, so the caller's terminal batch aggregation
+    * runs at the session's own setting; state-partition count is
+    * per-checkpoint, so the temp-checkpoint streams never mix counts. */
+  private def withDerivedStatePartitions[T](spark: SparkSession,
+                                            dirs: Seq[String])(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val target = math.max(1L,
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")))
+    val bytes = dirs.map { d =>
+      Option(new java.io.File(d).listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(fl => fl.isFile && !fl.getName.startsWith("_") &&
+          !fl.getName.startsWith("."))
+        .map(_.length).sum
+    }.sum
+    val derived = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+      .map(_.toInt)
+      .getOrElse(derivedStatePartitions(prev.toInt, bytes, target))
+    spark.conf.set("spark.sql.shuffle.partitions", derived.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Streaming pages source over a directory of documents-schema parquet
     * files. `maxFilesPerTrigger` bounds each micro-batch (a crawl increment
     * in the sandbox); the column derivation is byte-identical to the batch
@@ -86,14 +134,15 @@ object StreamingExtraction {
 
   /** Bounded run of the stateful KB upsert (memory sink). */
   def runBoundedKbUpsert(spark: SparkSession, docsDir: String, name: String,
-                         maxFilesPerTrigger: Int = Int.MaxValue): DataFrame = {
-    val q = netNewTriples(
-        triples(pagesStream(spark, docsDir, maxFilesPerTrigger), spark), spark)
-      .toDF()
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
-    q.processAllAvailable(); q.stop()
-    spark.table(name)
-  }
+                         maxFilesPerTrigger: Int = Int.MaxValue): DataFrame =
+    withDerivedStatePartitions(spark, Seq(docsDir)) {
+      val q = netNewTriples(
+          triples(pagesStream(spark, docsDir, maxFilesPerTrigger), spark), spark)
+        .toDF()
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name)
+    }
 
   /** STREAMING EXACT DEDUP — canonicalize the crawl feed before batch
     * processing: a streaming aggregation keeps the running MIN(doc_id) per
@@ -107,20 +156,21 @@ object StreamingExtraction {
     * the per-batch deltas via foreachBatch MERGE; the sandbox harness uses
     * a memory sink and takes the terminal min. */
   def runBoundedDedup(spark: SparkSession, docsDir: String, name: String,
-                      maxFilesPerTrigger: Int = Int.MaxValue): DataFrame = {
-    val schema = spark.read.parquet(docsDir).schema
-    val updates = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(docsDir)
-      .select(md5(col("text").cast("binary")).as("content_md5"), col("doc_id"))
-      .groupBy("content_md5").agg(min(col("doc_id")).as("keep_doc"))
-    val q = updates.writeStream.outputMode("update")
-      .format("memory").queryName(name).start()
-    q.processAllAvailable(); q.stop()
-    // the memory sink accumulates every per-batch update row; the running
-    // mins are monotone, so the terminal min per hash is the global min
-    spark.table(name).groupBy("content_md5").agg(min(col("keep_doc")).as("keep_doc"))
-  }
+                      maxFilesPerTrigger: Int = Int.MaxValue): DataFrame =
+    withDerivedStatePartitions(spark, Seq(docsDir)) {
+      val schema = spark.read.parquet(docsDir).schema
+      val updates = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(docsDir)
+        .select(md5(col("text").cast("binary")).as("content_md5"), col("doc_id"))
+        .groupBy("content_md5").agg(min(col("doc_id")).as("keep_doc"))
+      val q = updates.writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      // the memory sink accumulates every per-batch update row; the running
+      // mins are monotone, so the terminal min per hash is the global min
+      spark.table(name).groupBy("content_md5").agg(min(col("keep_doc")).as("keep_doc"))
+    }
 
   /** STREAMING KG FUSION — the corpus-KG snapshot aggregate
     * ([[graft.pipeline.KgFusion.fuse]]) as a RUNNING streaming aggregation:
@@ -145,22 +195,23 @@ object StreamingExtraction {
     * on top — exactly `KgBuild.buildSnapshot(inject = false)`'s fusion
     * input normalization. */
   def runBoundedFusion(spark: SparkSession, docsDir: String, name: String,
-                       maxFilesPerTrigger: Int = Int.MaxValue): DataFrame = {
-    import graft.pipeline.KgFusion
-    val updates = triples(pagesStream(spark, docsDir, maxFilesPerTrigger), spark)
-      .groupBy(col("subj"), col("pred"), col("obj"))
-      .agg(count(lit(1)).as("support"), min(col("doc_id")).as("first_doc"))
-    val q = updates.writeStream.outputMode("update")
-      .format("memory").queryName(name).start()
-    q.processAllAvailable(); q.stop()
-    // per-batch update rows are monotone (support grows, first_doc shrinks):
-    // the terminal state per triple is max(support), min(first_doc)
-    spark.table(name).groupBy(col("subj"), col("pred"), col("obj"))
-      .agg(max(col("support")).as("support"), min(col("first_doc")).as("first_doc"))
-      .withColumn("max_milli", lit(1000L))
-      .withColumn("fused_milli", col("max_milli") +
-        lit(KgFusion.WSupportMilli) * least(col("support") - 1, lit(KgFusion.SupportCap)))
-  }
+                       maxFilesPerTrigger: Int = Int.MaxValue): DataFrame =
+    withDerivedStatePartitions(spark, Seq(docsDir)) {
+      import graft.pipeline.KgFusion
+      val updates = triples(pagesStream(spark, docsDir, maxFilesPerTrigger), spark)
+        .groupBy(col("subj"), col("pred"), col("obj"))
+        .agg(count(lit(1)).as("support"), min(col("doc_id")).as("first_doc"))
+      val q = updates.writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      // per-batch update rows are monotone (support grows, first_doc shrinks):
+      // the terminal state per triple is max(support), min(first_doc)
+      spark.table(name).groupBy(col("subj"), col("pred"), col("obj"))
+        .agg(max(col("support")).as("support"), min(col("first_doc")).as("first_doc"))
+        .withColumn("max_milli", lit(1000L))
+        .withColumn("fused_milli", col("max_milli") +
+          lit(KgFusion.WSupportMilli) * least(col("support") - 1, lit(KgFusion.SupportCap)))
+    }
 
   /** BOUNDED-STATE streaming dedup — the `dropDuplicatesWithinWatermark`
     * twin the exact running-min dedup's scale note promises. Dedup key =
@@ -213,7 +264,8 @@ object StreamingExtraction {
   def runBoundedIncrementalDedup(spark: SparkSession, deltaDir: String,
                                  indexMd5: DataFrame, indexBands: DataFrame,
                                  name: String,
-                                 maxFilesPerTrigger: Int = Int.MaxValue): DataFrame = {
+                                 maxFilesPerTrigger: Int = Int.MaxValue): DataFrame =
+    withDerivedStatePartitions(spark, Seq(deltaDir)) {
     val schema = spark.read.parquet(deltaDir).schema
     // a stream-static join re-executes the static PLAN every micro-batch;
     // if the caller passes a derived index (as the demo does: exact +

@@ -190,6 +190,42 @@ class StreamingSpec extends AnyFunSuite {
       "past-horizon duplicate must RE-EMIT after state eviction — the bounded-state trade")
   }
 
+  test("derived state partitions: clamp [1, configured]; conf restored; result partition-invariant") {
+    import StreamingExtraction.derivedStatePartitions
+    val tgt = 64L * 1024 * 1024
+    // small bounded feed → 1 (the measured local win: 32 state-store
+    // commits per micro-batch of pure fixed cost collapse to 1)
+    assert(derivedStatePartitions(32, 3 * 1024 * 1024, tgt) == 1)
+    // production-scale feed → the configured ceiling (cluster behavior
+    // unchanged: ceil(bytes/target) ≥ partitions is capped at partitions)
+    assert(derivedStatePartitions(4000, 100L * 1024 * 1024 * 1024 * 1024, tgt) == 4000)
+    // mid-scale → ceil(bytes/target)
+    assert(derivedStatePartitions(4000, 10 * tgt + 1, tgt) == 11)
+    // degenerate inputs never yield 0 partitions or divide by zero
+    assert(derivedStatePartitions(32, 0, tgt) == 1)
+    assert(derivedStatePartitions(32, 123, 0) == 32) // target→1 byte, ceil caps
+
+    // the helper must restore the session conf after the stream stops, and
+    // the terminal result must not depend on the state partition count:
+    // compare the derived-path run (state partitions = 1 here) against a
+    // run forced to many partitions via the session conf ceiling
+    val docsDir = StreamingExtraction.stageDupDocsDir(spark, sfDir, 4)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = StreamingExtraction
+      .runBoundedDedup(spark, docsDir, "sdedup_p1", maxFilesPerTrigger = 2).cache()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prev,
+      "shuffle.partitions must be restored after the bounded stream")
+    a.count()
+    // force the derived count to the 32-partition ceiling by shrinking the
+    // advisory size: same query, genuinely different state partitioning
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    val b = try StreamingExtraction
+      .runBoundedDedup(spark, docsDir, "sdedup_p2", maxFilesPerTrigger = 2)
+    finally spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    a.unpersist()
+  }
+
   test("KB upsert state survives a restart: exactly-once across stop/start") {
     import java.nio.file.Files
     val work = Files.createTempDirectory("graft_stream_resume")
