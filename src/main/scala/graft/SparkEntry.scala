@@ -778,9 +778,12 @@ object SparkEntry {
       val inj = pipeline.KnowledgeInjection
         .extractInjectedFused(Pages.fromDocuments(s, dir), s)
         .select("doc_id", "subj", "pred", "obj", "score_milli").cache()
+      // fuseCore, not fuse: the delta reads only `support`, so the argmax
+      // layer (best-aggregation + join, per snapshot) would be computed
+      // and thrown away — Catalyst cannot prune an inner join
       pipeline.KgFusion.snapshotDelta(
-          pipeline.KgFusion.fuse(inj.filter(col("doc_id") % 2 === 0)),
-          pipeline.KgFusion.fuse(inj))
+          pipeline.KgFusion.fuseCore(inj.filter(col("doc_id") % 2 === 0)),
+          pipeline.KgFusion.fuseCore(inj))
         .orderBy(col("subj"), col("pred"), col("obj"))
     }),
     "q_pagerank" -> ((s, dir) => {

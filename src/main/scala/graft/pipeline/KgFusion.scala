@@ -51,14 +51,7 @@ object KgFusion {
     *                 identically in both engines.
     */
   def fuse(scored: DataFrame): DataFrame = {
-    val fused = scored
-      .groupBy(col("subj"), col("pred"), col("obj"))
-      .agg(
-        countDistinct(col("doc_id")).as("support"),
-        max(col("score_milli")).cast("long").as("max_milli"),
-        min(col("doc_id")).cast("long").as("first_doc"))
-      .withColumn("fused_milli",
-        col("max_milli") + lit(WSupportMilli) * least(col("support") - 1, lit(SupportCap)))
+    val fused = fuseCore(scored)
     // functional-relation argmax: grouped max of the (fused, support, obj)
     // struct — map-side combinable, no window, so a hot (subj, pred) with
     // millions of asserted objects still partial-aggregates
@@ -72,6 +65,24 @@ object KgFusion {
       .select("subj", "pred", "obj", "support", "max_milli", "first_doc",
         "fused_milli", "is_best")
   }
+
+  /** The support/confidence aggregation of [[fuse]] WITHOUT the
+    * functional-relation argmax layer: one row per distinct (subj, pred,
+    * obj) with support / max_milli / first_doc / fused_milli, values
+    * identical to `fuse`'s (spec-pinned). For consumers that use none of
+    * is_best — e.g. [[snapshotDelta]], which reads only `support` — the
+    * argmax's extra aggregation + join is computed-then-discarded work
+    * that column pruning can NOT remove (the inner join survives because
+    * Catalyst cannot prove it row-preserving). */
+  def fuseCore(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(col("subj"), col("pred"), col("obj"))
+      .agg(
+        countDistinct(col("doc_id")).as("support"),
+        max(col("score_milli")).cast("long").as("max_milli"),
+        min(col("doc_id")).cast("long").as("first_doc"))
+      .withColumn("fused_milli",
+        col("max_milli") + lit(WSupportMilli) * least(col("support") - 1, lit(SupportCap)))
 
   /** Max provenance pointers carried per fused triple. */
   val EvidenceCap = 5

@@ -57,6 +57,20 @@ class KgGraphSpec extends AnyFunSuite {
     assert(f.filter(col("subj") === "Q2" && col("is_best") === 1).count() == 1)
   }
 
+  test("fuseCore == fuse minus the argmax layer, row for row") {
+    val core = KgFusion.fuseCore(scoredFixture)
+    val full = KgFusion.fuse(scoredFixture)
+      .select("subj", "pred", "obj", "support", "max_milli", "first_doc",
+        "fused_milli")
+    assert(core.columns.toSeq ==
+      Seq("subj", "pred", "obj", "support", "max_milli", "first_doc",
+        "fused_milli"))
+    assert(core.exceptAll(full).count() == 0 && full.exceptAll(core).count() == 0)
+    // and the argmax join must be absent from the core plan
+    val plan = core.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"fuseCore plan contains a join:\n$plan")
+  }
+
   test("fuse: no WindowExec — argmax is a grouped struct-max") {
     val plan = KgFusion.fuse(scoredFixture).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"fuse plan contains a window:\n$plan")
