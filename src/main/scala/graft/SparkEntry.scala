@@ -64,7 +64,51 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One-time JVM/codegen warm-up (round-5 VERDICT Wrong #1 / "Next round"
+    * item 4: "one untimed warm-up action before the timed loop"). The first
+    * query a fresh JVM runs pays ~5 s of one-time machinery compilation —
+    * Janino whole-stage-codegen templates, shuffle writer/reader, hash
+    * aggregate, sort, window, broadcast + sort-merge join, and the parquet
+    * reader stack — measured 5.79 s cold vs 0.40 s warm for
+    * q6_events_hourly, the bench's first query since round 2. `Bench.scala`
+    * is FROZEN, so the untimed action lives at the library boundary
+    * instead: the harness reads this `queries` map before it starts any
+    * per-query timer, and the map's construction runs one tiny SYNTHETIC
+    * job (spark.range + a ~100-row parquet round-trip under
+    * java.io.tmpdir — no testdata read, nothing of any query precomputed
+    * or cached, results untouched). Per-query timing methodology is
+    * unchanged, and Bench's reported total is the SUM of per-query times,
+    * so the warm-up's own cost lands in no metric and simply stops being
+    * mis-billed to whichever query happens to run first. Once per JVM;
+    * no-op when no session is active yet (library consumers, specs). */
+  private val warmedUp = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def warmUpOnce(): Unit =
+    SparkSession.getActiveSession.foreach { s =>
+      if (warmedUp.compareAndSet(false, true)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_warmup").toString
+        s.range(0, 50000, 1, 4)
+          .select(col("id"), (col("id") % 97).as("k"))
+          .write.mode("overwrite").parquet(dir)
+        val a = s.read.parquet(dir)
+        val agg = a.groupBy(col("k"))
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
+        val w = agg.join(a.select(col("k")).distinct(), "k")
+          .withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("k")).orderBy(col("n"), col("sum_id"))))
+        w.filter(col("r") >= 0).orderBy(col("k")).count()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }
+    }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    warmUpOnce()
+    Map(
     // -- relational correctness ladder (TPC-H-ish) --
     "q1_agg" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -905,6 +949,7 @@ object SparkEntry {
         .orderBy(col("subj"), col("pred"), col("obj"))
     })
   )
+  }
 
   /** Rebuild + load + resolve the reference-scale file dictionary (always
     * regenerated — deterministic content, see SyntheticDict; an existence
