@@ -85,7 +85,7 @@ object SparkEntry {
 
   private def warmUpOnce(): Unit =
     SparkSession.getActiveSession.foreach { s =>
-      if (warmedUp.compareAndSet(false, true)) {
+      if (warmedUp.compareAndSet(false, true)) try {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_warmup").toString
         s.range(0, 50000, 1, 4)
@@ -103,6 +103,12 @@ object SparkEntry {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
         rm(new java.io.File(dir))
+      } catch {
+        // best-effort: a warm-up failure (unwritable tmpdir, exotic FS)
+        // must never take the engine down — the first query just pays the
+        // one-time compilation cost it always used to
+        case e: Exception =>
+          System.err.println(s"[graft] warm-up skipped: ${e.getMessage}")
       }
     }
 
